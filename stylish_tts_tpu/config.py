@@ -1,0 +1,226 @@
+"""Configuration schemas.
+
+YAML-compatible with the reference's two config files
+(reference: src/stylish_tts/lib/config_loader.py:322,348 and
+train/config/model.yml / config/config.yml): the same keys load
+unchanged, so a user of the reference can reuse their configs.
+
+Both configs expose ``state_dict``/``load_state_dict`` so they can be
+serialized into checkpoints (reference: config_loader.py:341-345).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional
+
+import yaml
+from pydantic import BaseModel, Field
+
+
+# --------------------------------------------------------------------------
+# Run config (training plan, dataset paths, loss weights)
+# --------------------------------------------------------------------------
+
+
+class TrainingConfig(BaseModel):
+    log_interval: int = 10
+    save_interval: int = 2000
+    val_interval: int = 2000
+    device: str = "tpu"
+    mixed_precision: str = "bf16"  # "bf16" or "no" — fp32 islands stay fp32 anyway
+    # Kept for config compat with the reference (VRAM probe reserve);
+    # on TPU batch sizes come from the static memory planner instead.
+    vram_reserve: int = 0
+    data_workers: int = 4
+
+
+class StagePlan(BaseModel):
+    epochs: int = 1
+    # Maximum batch size considered by the static batch planner
+    # (reference calls this probe_batch_max and discovers sizes by OOM probing).
+    probe_batch_max: int = 16
+    lr: float = 1e-4
+
+
+class TrainingPlan(BaseModel):
+    alignment: StagePlan = StagePlan(epochs=20, probe_batch_max=128, lr=1e-5)
+    acoustic: StagePlan = StagePlan(epochs=20, probe_batch_max=16, lr=1e-4)
+    textual: StagePlan = StagePlan(epochs=40, probe_batch_max=32, lr=3e-5)
+    style: StagePlan = StagePlan(epochs=20, probe_batch_max=64, lr=1e-5)
+    joint: StagePlan = StagePlan(epochs=10, probe_batch_max=16, lr=1e-5)
+    duration: StagePlan = StagePlan(epochs=80, probe_batch_max=32, lr=1e-4)
+
+    def get_stage(self, name: str) -> StagePlan:
+        return getattr(self, name)
+
+
+class DatasetConfig(BaseModel):
+    path: str = "."
+    train_data: str = "train-list.txt"
+    val_data: str = "val-list.txt"
+    wav_path: str = "wav-dir"
+    pitch_path: str = "pitch.safetensors"
+    alignment_path: str = "alignment.safetensors"
+    alignment_model_path: str = "alignment_model.safetensors"
+
+
+class ValidationConfig(BaseModel):
+    sample_count: int = 10
+    force_samples: List[str] = Field(default_factory=list)
+
+
+class LossWeightConfig(BaseModel):
+    mel: float = 5.0
+    generator: float = 1.0
+    slm: float = 0.2
+    pitch: float = 8.0
+    energy: float = 8.0
+    duration: float = 8.0
+    duration_ce: float = 8.0
+    style: float = 1.0
+    mag: float = 1.0
+    phase: float = 8.0
+    voiced: float = 1.0
+    multi_phase: float = 8.0
+    confidence: float = 1.0
+    align_loss: float = 1.0
+    discriminator: float = 1.0
+
+
+class Config(BaseModel):
+    training: TrainingConfig = TrainingConfig()
+    training_plan: TrainingPlan = TrainingPlan()
+    dataset: DatasetConfig = DatasetConfig()
+    validation: ValidationConfig = ValidationConfig()
+    loss_weight: LossWeightConfig = LossWeightConfig()
+
+    def state_dict(self) -> dict:
+        return {"json": self.model_dump_json()}
+
+    def load_state_dict(self, state: dict) -> None:
+        loaded = Config.model_validate(json.loads(state["json"]))
+        for field in Config.model_fields:
+            setattr(self, field, getattr(loaded, field))
+
+
+# --------------------------------------------------------------------------
+# Model config
+# --------------------------------------------------------------------------
+
+
+class TextAlignerConfig(BaseModel):
+    n_mels: int = 80
+    n_fft: int = 2048
+    win_length: int = 1200
+    hop_length: int = 300
+    hidden_dim: int = 256
+    token_embedding_dim: int = 512
+
+
+class DecoderConfig(BaseModel):
+    hidden_dim: int = 128
+    residual_dim: int = 64
+
+
+class GeneratorConfig(BaseModel):
+    type: str = "freegan"
+    input_dim: int = 128
+    hidden_dim: int = 256
+    conv_intermediate_dim: int = 768
+    io_conv_kernel_size: int = 21
+    conformer_layers: int = 1
+    conv_layers: int = 8
+
+
+class TextEncoderConfig(BaseModel):
+    tokens: int = 178
+    hidden_dim: int = 128
+    filter_channels: int = 512
+    heads: int = 8
+    layers: int = 8
+    kernel_size: int = 3
+    dropout: float = 0.2
+
+
+class StyleEncoderConfig(BaseModel):
+    n_mels: int = 80
+    n_fft: int = 2048
+    win_length: int = 1200
+    hop_length: int = 300
+    max_channels: int = 384
+    skip_downsample: bool = True
+
+
+class DurationPredictorConfig(BaseModel):
+    n_layer: int = 3
+    duration_classes: int = 16
+    max_duration: int = 50
+    dropout: float = 0.5
+    last_dropout: float = 0.5
+
+
+class PitchEnergyPredictorConfig(BaseModel):
+    inter_dim: int = 256
+    dropout: float = 0.2
+
+
+class SlmConfig(BaseModel):
+    model: str = "microsoft/wavlm-base-plus"
+    sr: int = 16000
+
+
+class SymbolConfig(BaseModel):
+    pad: str = "$"
+    punctuation: str = ';:,.!?¡¿—…"()“” '
+    letters: str = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    letters_ipa: str = (
+        "ɑɐɒæɓʙβɔɕçɗɖðʤəɘɚɛɜɝɞɟʄɡɠɢʛɦɧħɥʜɨɪʝɭɬɫɮʟɱɯɰŋɳɲɴøɵɸθœɶʘɹɺɾɻʀʁɽʂʃʈʧʉʊʋⱱʌɣɤʍχʎʏʑʐʒʔʡʕʢǀǁᵊǃˈˌːˑʼʴʰʱʲʷˠˤ˞↓↑→↗↘'̩'ᵻ"
+    )
+
+
+class ModelConfig(BaseModel):
+    multispeaker: bool = False
+    sample_rate: int = 24000
+    n_mels: int = 80
+    n_fft: int = 512
+    win_length: int = 512
+    hop_length: int = 300
+    coarse_multiplier: int = 1
+    style_dim: int = 64
+    inter_dim: int = 128
+
+    text_aligner: TextAlignerConfig = TextAlignerConfig()
+    decoder: DecoderConfig = DecoderConfig()
+    generator: GeneratorConfig = GeneratorConfig()
+    text_encoder: TextEncoderConfig = TextEncoderConfig()
+    style_encoder: StyleEncoderConfig = StyleEncoderConfig()
+    duration_predictor: DurationPredictorConfig = DurationPredictorConfig()
+    pitch_energy_predictor: PitchEnergyPredictorConfig = PitchEnergyPredictorConfig()
+    slm: SlmConfig = SlmConfig()
+    symbol: SymbolConfig = SymbolConfig()
+
+    def state_dict(self) -> dict:
+        return {"json": self.model_dump_json()}
+
+    def load_state_dict(self, state: dict) -> None:
+        loaded = ModelConfig.model_validate(json.loads(state["json"]))
+        for field in ModelConfig.model_fields:
+            setattr(self, field, getattr(loaded, field))
+
+
+# --------------------------------------------------------------------------
+# Loading helpers
+# --------------------------------------------------------------------------
+
+
+def load_config_yaml(path: str) -> Config:
+    with open(path, "r", encoding="utf-8") as f:
+        raw = yaml.safe_load(f) or {}
+    return Config.model_validate(raw)
+
+
+def load_model_config_yaml(path: str) -> ModelConfig:
+    with open(path, "r", encoding="utf-8") as f:
+        raw = yaml.safe_load(f) or {}
+    return ModelConfig.model_validate(raw)

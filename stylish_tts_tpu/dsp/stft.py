@@ -1,0 +1,233 @@
+"""STFT / iSTFT as framed DFT matmuls — the TPU-native formulation.
+
+On TPU the FFT is not a primitive the MXU loves; a windowed DFT as a
+dense (n_fft x freq_bins) matmul over strided frames is, and for the
+small FFT sizes used in vocoders (512..2048) it is both exact and
+fast.  The reference itself proved this formulation in its ONNX-safe
+STFT (reference: src/stylish_tts/train/models/stft.py:6-196, conv1d /
+conv_transpose1d with DFT-matrix kernels); here it becomes
+``lax.conv_general_dilated`` with the DFT basis as the kernel, which
+XLA tiles straight onto the MXU.
+
+All transforms run in float32 islands regardless of the ambient
+compute dtype — phase losses and iSTFT reconstruction need the
+mantissa (SURVEY.md §7 "iSTFT/phase fidelity").
+
+Conventions match ``torch.stft``: e^{-j 2 pi k n / N}, onesided,
+center padding with either reflect (torch default, used by the loss
+spectrograms) or edge/replicate (used by the generator head, matching
+the reference's export-safe STFT).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class STFTParams:
+    n_fft: int
+    hop_length: int
+    win_length: int
+    center: bool = True
+    pad_mode: str = "reflect"  # or "edge" (torch "replicate")
+
+
+def hann_window(win_length: int, dtype=np.float32) -> np.ndarray:
+    """Periodic Hann window (matches torch.hann_window(periodic=True))."""
+    n = np.arange(win_length)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(dtype)
+
+
+@functools.lru_cache(maxsize=32)
+def _forward_basis(n_fft: int, win_length: int) -> np.ndarray:
+    """(2*freq_bins, 1, n_fft) windowed DFT conv kernel: rows = [real; imag]."""
+    freq_bins = n_fft // 2 + 1
+    window = hann_window(win_length)
+    if win_length < n_fft:
+        window = np.pad(window, (0, n_fft - win_length))
+    else:
+        window = window[:n_fft]
+    n = np.arange(n_fft)
+    k = np.arange(freq_bins)
+    angle = 2.0 * np.pi * np.outer(k, n) / n_fft
+    real = (np.cos(angle) * window).astype(np.float32)
+    imag = (-np.sin(angle) * window).astype(np.float32)
+    return np.concatenate([real, imag], axis=0)[:, None, :]
+
+
+@functools.lru_cache(maxsize=32)
+def _inverse_basis(n_fft: int, win_length: int) -> np.ndarray:
+    """(2*freq_bins, 1, n_fft) windowed IDFT conv_transpose kernel."""
+    freq_bins = n_fft // 2 + 1
+    window = hann_window(win_length)
+    if win_length < n_fft:
+        window = np.pad(window, (0, n_fft - win_length))
+    else:
+        window = window[:n_fft]
+    n = np.arange(n_fft)
+    k = np.arange(freq_bins)
+    angle = 2.0 * np.pi * np.outer(n, k) / n_fft  # (n_fft, freq)
+    # Doubling for the symmetric (negative-frequency) bins of the real FFT;
+    # DC and Nyquist appear once.
+    scale = np.full(freq_bins, 2.0 / n_fft)
+    scale[0] = 1.0 / n_fft
+    if n_fft % 2 == 0:
+        scale[-1] = 1.0 / n_fft
+    idft_cos = (np.cos(angle) * scale).T  # (freq, n_fft)
+    idft_sin = (np.sin(angle) * scale).T
+    real_k = (idft_cos * window).astype(np.float32)
+    imag_k = (-idft_sin * window).astype(np.float32)
+    return np.concatenate([real_k, imag_k], axis=0)[:, None, :]
+
+
+@functools.lru_cache(maxsize=32)
+def _window_sumsquare_kernel(n_fft: int, win_length: int) -> np.ndarray:
+    window = hann_window(win_length)
+    if win_length < n_fft:
+        window = np.pad(window, (0, n_fft - win_length))
+    else:
+        window = window[:n_fft]
+    return (window * window).astype(np.float32)[None, None, :]
+
+
+def _overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """Overlap-add (B, T, n_fft) frames with the given hop -> (B, L).
+
+    L = (T-1)*hop + n_fft.  When n_fft % hop == 0 this uses k = n_fft/hop
+    shifted reshapes (exact, layout-friendly); otherwise it falls back to a
+    conv_transpose formulation.
+    """
+    b, t, n_fft = frames.shape
+    out_len = (t - 1) * hop + n_fft
+    if n_fft % hop == 0:
+        k = n_fft // hop
+        chunks = frames.reshape(b, t, k, hop)
+        wav = jnp.zeros((b, out_len), dtype=frames.dtype)
+        for j in range(k):
+            seg = chunks[:, :, j, :].reshape(b, t * hop)
+            wav = wav.at[:, j * hop : j * hop + t * hop].add(seg)
+        return wav
+    # Fallback: transposed conv overlap-add (kernel = identity painter).
+    spec = jnp.moveaxis(frames, 1, 2)  # (B, n_fft, T)
+    eye = jnp.eye(n_fft, dtype=frames.dtype)[:, None, ::-1]  # IOH (n_fft, 1, n_fft)
+    return jax.lax.conv_transpose(
+        spec,
+        eye,
+        strides=(hop,),
+        padding="VALID",
+        dimension_numbers=("NCH", "IOH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )[:, 0, :]
+
+
+def _pad_center(audio: jnp.ndarray, n_fft: int, pad_mode: str) -> jnp.ndarray:
+    pad = n_fft // 2
+    return jnp.pad(audio, ((0, 0), (pad, pad)), mode=pad_mode)
+
+
+def stft(
+    audio: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    center: bool = True,
+    pad_mode: str = "reflect",
+):
+    """Forward STFT.
+
+    audio: (B, T) -> (real, imag), each (B, freq_bins, frames).
+    Matches torch.stft(..., center=True, onesided=True).
+    """
+    audio = audio.astype(jnp.float32)
+    if center:
+        audio = _pad_center(audio, n_fft, pad_mode)
+    x = audio[:, None, :]  # (B, 1, T)
+    kernel = jnp.asarray(_forward_basis(n_fft, win_length))
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(hop_length,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    freq_bins = n_fft // 2 + 1
+    return out[:, :freq_bins, :], out[:, freq_bins:, :]
+
+
+def stft_magnitude_unit_phase(
+    audio: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    center: bool = True,
+    pad_mode: str = "edge",
+    eps: float = 1e-14,
+):
+    """(magnitude, cos_phase, sin_phase) — the generator-head interface
+    (reference: stft.py:98-136 returns magnitude + unit-normalized x/y)."""
+    real, imag = stft(audio, n_fft, hop_length, win_length, center, pad_mode)
+    magnitude = jnp.sqrt(real * real + imag * imag + eps)
+    return magnitude, real / magnitude, imag / magnitude
+
+
+def istft(
+    real: jnp.ndarray,
+    imag: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    center: bool = True,
+    length: int | None = None,
+    normalize_window: bool = True,
+):
+    """Inverse STFT via conv_transpose overlap-add.
+
+    real/imag: (B, freq_bins, frames) -> (B, T).
+
+    ``normalize_window=True`` divides by the window sum-of-squares
+    envelope (exact reconstruction, like torch.istft).  The reference's
+    conv iSTFT skips this (stft.py:138-187) and lets the model learn the
+    envelope; pass False for behavioral parity with the generator head.
+    """
+    real = real.astype(jnp.float32)
+    imag = imag.astype(jnp.float32)
+    spec = jnp.concatenate([real, imag], axis=1)  # (B, 2*freq, frames)
+    kernel = jnp.asarray(_inverse_basis(n_fft, win_length))[:, 0, :]  # (2F, n_fft)
+
+    # Frame synthesis as one fp32 MXU matmul, then overlap-add.  The
+    # overlap-add itself is done with hop-strided shifts and adds (exact VPU
+    # fp32) when n_fft is a multiple of hop — conv_transpose does not honor
+    # full precision on all TPU backends.
+    frames_syn = jnp.einsum(
+        "bft,fn->btn",
+        spec,
+        kernel,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, T_frames, n_fft)
+    wav = _overlap_add(frames_syn, hop_length)
+
+    if normalize_window:
+        n_frames = real.shape[-1]
+        wss = jnp.asarray(_window_sumsquare_kernel(n_fft, win_length))[0, 0]
+        env_frames = jnp.broadcast_to(wss[None, None, :], (1, n_frames, n_fft))
+        envelope = _overlap_add(env_frames, hop_length)
+        wav = wav / jnp.maximum(envelope, 1e-11)
+
+    if center:
+        pad = n_fft // 2
+        wav = wav[:, pad:-pad]
+    if length is not None:
+        if wav.shape[-1] < length:
+            wav = jnp.pad(wav, ((0, 0), (0, length - wav.shape[-1])))
+        else:
+            wav = wav[:, :length]
+    return wav

@@ -1,0 +1,279 @@
+"""FreeGAN vocoder: harmonic-prior amplitude/phase iSTFT generator.
+
+Capability parity with the reference MultiGenerator/Generator
+(reference: train/models/generator.py:513-902):
+
+  input conv + LayerNorm + style Conformer over mel features
+  -> amplitude branch: ConvNeXt stack + pixel-shuffle upsampling x[3,5,5]
+  -> harmonic prior: Hn-NSF sine source from upsampled F0, STFT'd to
+     spec/phase priors at the head resolution (n_fft/8=64, hop/75=4)
+  -> phase branch: [amp features ++ priors] -> ConvNeXt stack ->
+     real/imag convs -> atan2
+  -> iSTFT head (overlap-add DFT matmul) -> tanh audio.
+
+TPU-native notes: layout is (B, T, C); "pixel shuffle" upsampling is a
+dense channel expansion + reshape (an MXU matmul, no conv_transpose);
+the sine source phase cumsum runs at frame rate then upsamples
+(identical math to the reference's interpolate-then-cumsum ordering is
+kept where it matters: cumsum happens at audio rate on interpolated
+radians, reference generator.py:336-383).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import GeneratorConfig
+from ..dsp import stft as stft_lib
+from .common import AdaptiveGeneratorBlock, Conv1d
+from .conformer import Conformer
+from .convnext import GeneratorConvNeXtBlock
+
+
+class DecoderPrediction(NamedTuple):
+    audio: jnp.ndarray  # (B, T_samples)
+    magnitude: Optional[jnp.ndarray] = None
+    phase: Optional[jnp.ndarray] = None
+
+
+def _linear_resize(x: jnp.ndarray, new_len: int) -> jnp.ndarray:
+    """Linear interpolation along the last axis (align_corners=False)."""
+    return jax.image.resize(
+        x, x.shape[:-1] + (new_len,), method="linear", antialias=False
+    )
+
+
+class SineSource(nn.Module):
+    """Hn-NSF harmonic sine source (reference generator.py:295-510).
+
+    F0 (B, frames) -> merged sine excitation (B, frames*hop).
+    Harmonics are summed through a learned linear + tanh; voiced/unvoiced
+    switching adds scaled noise in unvoiced regions.
+    """
+
+    sample_rate: int
+    hop_length: int
+    harmonic_num: int = 8
+    sine_amp: float = 0.1
+    noise_std: float = 0.003
+    voiced_threshold: float = 10.0
+
+    @nn.compact
+    def __call__(self, f0: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        b, frames = f0.shape
+        source_len = frames * self.hop_length
+        n_harm = self.harmonic_num + 1
+        # (B, frames, n_harm) harmonic frequencies in radians/sample
+        harmonics = jnp.arange(1, n_harm + 1, dtype=jnp.float32)
+        rad_per_sample = (f0[..., None] * harmonics) / self.sample_rate
+        rad_per_sample = jnp.mod(rad_per_sample, 1.0)
+
+        # random initial phase per harmonic except the fundamental
+        k_phase, k_noise = jax.random.split(rng)
+        rand_ini = jax.random.uniform(k_phase, (b, n_harm))
+        rand_ini = rand_ini.at[:, 0].set(0.0)
+
+        # upsample radians to audio rate, then integrate (cumsum in fp32)
+        rad = _linear_resize(
+            jnp.moveaxis(rad_per_sample, 1, 2), source_len
+        )  # (B, n_harm, T)
+        rad = rad.at[:, :, 0].add(rand_ini)
+        phase = jnp.cumsum(rad.astype(jnp.float32), axis=-1) * (2.0 * jnp.pi)
+        sines = jnp.sin(phase) * self.sine_amp  # (B, n_harm, T)
+
+        uv_frame = (f0 > self.voiced_threshold).astype(jnp.float32)
+        uv = _linear_resize(uv_frame[:, None, :], source_len)  # (B, 1, T)
+        noise_amp = uv * self.noise_std + (1.0 - uv) * self.sine_amp / 3.0
+        noise = noise_amp * jax.random.normal(k_noise, sines.shape)
+        sines = sines * uv + noise
+
+        # merge harmonics: (B, T, n_harm) -> linear -> tanh -> (B, T)
+        merged = nn.Dense(1, name="merge")(jnp.moveaxis(sines, 1, 2))
+        return jnp.tanh(merged)[..., 0]
+
+
+class Generator(nn.Module):
+    """Amplitude/phase iSTFT head generator (reference generator.py:513-799)."""
+
+    style_dim: int
+    n_fft: int
+    win_length: int
+    hop_length: int
+    sample_rate: int
+    scale: int  # head works at n_fft/scale resolution
+    scalehop: int  # and hop/scalehop
+    start_fft: int
+    hidden_dim: int
+    input_dim: int
+    io_conv_kernel_size: int
+    conv_layers: int
+    upsample_rates: Sequence[int]
+
+    @nn.compact
+    def __call__(self, mel, style, pitch, voiced, *, rng: jax.Array):
+        """mel: (B, frames, input_dim); pitch/voiced: (B, frames) at frame rate.
+
+        Returns audio (B, frames * hop_length) [pre-tanh].
+        """
+        head_fft = self.n_fft // self.scale
+        head_hop = self.hop_length // self.scalehop
+        fft_dim = head_fft // 2 + 1
+        end_fft = self.start_fft + self.hidden_dim
+
+        # ---- harmonic prior (no grad through the source) ----
+        prior = SineSource(
+            sample_rate=self.sample_rate,
+            hop_length=self.hop_length,
+            harmonic_num=8,
+            voiced_threshold=10.0,
+            name="source",
+        )(pitch * voiced, rng)
+        prior = jax.lax.stop_gradient(prior)
+        har_mag, har_x, har_y = stft_lib.stft_magnitude_unit_phase(
+            prior, head_fft, head_hop, head_fft, center=True, pad_mode="edge"
+        )
+        har_phase = jnp.arctan2(har_y * har_mag, har_x * har_mag)
+        # strip trailing frame, select the head band, to (B, T', C)
+        har_spec = jnp.moveaxis(har_mag[:, self.start_fft : end_fft, :-1], 1, 2)
+        har_phase = jnp.moveaxis(har_phase[:, self.start_fft : end_fft, :-1], 1, 2)
+
+        logamp_prior = Conv1d(
+            self.hidden_dim, self.io_conv_kernel_size, name="amp_prior_conv"
+        )(har_spec)
+        logamp_prior = AdaptiveGeneratorBlock(
+            self.hidden_dim, kernel_size=11, name="amp_prior_block"
+        )(logamp_prior, style)
+        phase_prior = Conv1d(
+            self.hidden_dim, self.io_conv_kernel_size, name="phase_prior_conv"
+        )(har_phase)
+        phase_prior = AdaptiveGeneratorBlock(
+            self.hidden_dim, kernel_size=11, name="phase_prior_block"
+        )(phase_prior, style)
+
+        # ---- amplitude trunk: ConvNeXt + pixel-shuffle upsampling ----
+        x = mel
+        dim = self.input_dim
+        amp_layers = self.conv_layers - len(self.upsample_rates)
+        for i in range(amp_layers):
+            x = GeneratorConvNeXtBlock(dim, dim * 4, name=f"amp_convnext_{i}")(
+                x, style
+            )
+        for i, stride in enumerate(self.upsample_rates):
+            out_dim = dim // 2
+            # dense channel expansion + reshape == sub-pixel upsample (MXU)
+            h = Conv1d(out_dim * stride, 11, name=f"upconv_{i}")(x)
+            b, t, _ = h.shape
+            x = h.reshape(b, t, stride, out_dim).reshape(b, t * stride, out_dim)
+            x = GeneratorConvNeXtBlock(out_dim, out_dim * 4, name=f"upblock_{i}")(
+                x, style
+            )
+            dim = out_dim
+
+        # ---- amplitude head ----
+        logamp = nn.LayerNorm(epsilon=1e-6, name="amp_final_norm")(x)
+        logamp = Conv1d(
+            self.hidden_dim, self.io_conv_kernel_size, name="amp_output_conv"
+        )(logamp)
+
+        # ---- phase branch ----
+        phase_in = jnp.concatenate([x, logamp_prior, phase_prior], axis=-1)
+        phase = Conv1d(
+            self.hidden_dim, self.io_conv_kernel_size, name="phase_input_conv"
+        )(phase_in)
+        phase = nn.LayerNorm(epsilon=1e-6, name="phase_norm")(phase)
+        for i in range(self.conv_layers):
+            phase = GeneratorConvNeXtBlock(
+                self.hidden_dim, self.hidden_dim * 4, name=f"phase_convnext_{i}"
+            )(phase, style)
+        phase = nn.LayerNorm(epsilon=1e-6, name="phase_final_norm")(phase)
+        real = Conv1d(
+            self.hidden_dim, self.io_conv_kernel_size, name="phase_real_conv"
+        )(phase)
+        imag = Conv1d(
+            self.hidden_dim, self.io_conv_kernel_size, name="phase_imag_conv"
+        )(phase)
+        phase = jnp.arctan2(imag.astype(jnp.float32), real.astype(jnp.float32))
+
+        # replicate-pad one trailing frame (matches the stripped prior frame)
+        logamp = jnp.concatenate([logamp, logamp[:, -1:, :]], axis=1)
+        phase = jnp.concatenate([phase, phase[:, -1:, :]], axis=1)
+
+        # ---- iSTFT synthesis (fp32 island) ----
+        spec = jnp.exp(jnp.clip(logamp.astype(jnp.float32), -35.0, 35.0))
+        frames = spec.shape[1]
+        b = spec.shape[0]
+        spec_full = jnp.zeros((b, frames, fft_dim), jnp.float32)
+        spec_full = spec_full.at[:, :, self.start_fft : end_fft].set(spec)
+        phase_full = jnp.zeros((b, frames, fft_dim), jnp.float32)
+        phase_full = phase_full.at[:, :, self.start_fft : end_fft].set(phase)
+        real_full = jnp.moveaxis(spec_full * jnp.cos(phase_full), 1, 2)
+        imag_full = jnp.moveaxis(spec_full * jnp.sin(phase_full), 1, 2)
+        audio = stft_lib.istft(
+            real_full,
+            imag_full,
+            head_fft,
+            head_hop,
+            head_fft,
+            center=True,
+            normalize_window=False,
+        )
+        return audio
+
+
+class MultiGenerator(nn.Module):
+    """Conformer front end + base generator (reference generator.py:802-901)."""
+
+    style_dim: int
+    n_fft: int
+    win_length: int
+    hop_length: int
+    sample_rate: int
+    config: GeneratorConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        *,
+        mel,  # (B, frames, input_dim) decoder output
+        style,  # (B, style_dim)
+        pitch,  # (B, frames) F0 Hz
+        energy,  # (B, frames) unused by the net, part of the API
+        voiced,  # (B, frames)
+        rng: jax.Array,
+        training: bool = False,
+    ) -> DecoderPrediction:
+        hidden_dim = self.n_fft // 2
+        x = Conv1d(
+            hidden_dim, self.config.io_conv_kernel_size, name="amp_input_conv"
+        )(mel)
+        x = nn.LayerNorm(epsilon=1e-6, name="amp_norm")(x)
+        x = Conformer(
+            dim=hidden_dim,
+            depth=self.config.conformer_layers,
+            attn_dropout=0.2,
+            ff_dropout=0.2,
+            conv_dropout=0.2,
+            name="amp_conformer",
+        )(x, style, training=training)
+
+        audio = Generator(
+            style_dim=self.style_dim,
+            n_fft=self.n_fft,
+            win_length=self.win_length,
+            hop_length=self.hop_length,
+            sample_rate=self.sample_rate,
+            scale=8,
+            scalehop=75,
+            start_fft=0,
+            hidden_dim=self.n_fft // 2 // 8,
+            input_dim=hidden_dim,
+            io_conv_kernel_size=self.config.io_conv_kernel_size,
+            conv_layers=self.config.conv_layers,
+            upsample_rates=(3, 5, 5),
+            name="basegen",
+        )(x, style, pitch, voiced, rng=rng)
+        return DecoderPrediction(audio=jnp.tanh(audio))

@@ -1,0 +1,50 @@
+"""CTC text aligner: TDNN conv stack + FFN + log-softmax posteriors.
+
+Capability parity with the reference tdnn_blstm_ctc_model_base
+(reference: train/models/text_aligner.py:33-45): mel(80) input, three
+TDNN layers (k=5,3,3, stride 1, hidden 640) + a 5-layer skip FFN, then
+a linear head over n_tokens + 1 (blank id = n_tokens,
+train_context.py:134).
+
+TDNN BatchNorm(affine=False) -> GroupNorm(1); masking is applied
+before each conv so padded frames don't bleed in.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .common import Conv1d, sequence_mask
+
+
+class TextAligner(nn.Module):
+    n_mels: int = 80
+    n_tokens: int = 178
+    hidden_dim: int = 640
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, mel, mel_lengths, *, training: bool = False):
+        """mel: (B, T, n_mels) -> log-probs (B, T, n_tokens + 1)."""
+        x = mel
+        mask = sequence_mask(mel_lengths, mel.shape[1]).astype(x.dtype)[..., None]
+        for i, kernel in enumerate([5, 3, 3]):
+            x = x * mask
+            x = Conv1d(self.hidden_dim, kernel, name=f"tdnn_{i}")(x)
+            x = nn.relu(x)
+            x = nn.GroupNorm(num_groups=1, use_bias=False, use_scale=False,
+                             name=f"tdnn_norm_{i}")(x)
+            x = nn.Dropout(self.dropout, deterministic=not training)(x)
+        # 5-layer skip FFN
+        h = x
+        for i in range(5):
+            h_in = h
+            h = nn.Dense(self.hidden_dim, name=f"ffn_{i}")(h)
+            h = nn.relu(h)
+            h = nn.Dropout(self.dropout, deterministic=not training)(h)
+            if i > 0:
+                h = h + h_in
+        x = x + h  # outer skip
+        logits = nn.Dense(self.n_tokens + 1, name="out")(x)
+        return nn.log_softmax(logits, axis=-1)
