@@ -1,0 +1,172 @@
+"""Shape/smoke tests for all 13 model modules (tiny config, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stylish_tts_tpu.config import ModelConfig
+from stylish_tts_tpu.models import build_model, MODEL_NAMES
+
+
+@pytest.fixture(scope="module")
+def tiny_config():
+    mc = ModelConfig()
+    mc.n_fft = 128  # head: fft 16, hidden 8
+    mc.win_length = 128
+    mc.hop_length = 60  # hop/scalehop must be int: 60/75 <1 → adjust scale inside?
+    return mc
+
+
+def small_model_config():
+    mc = ModelConfig()
+    # Keep the real generator geometry (scale=8, scalehop=75, up 3*5*5=75)
+    # but shrink every width/depth.
+    mc.inter_dim = 32
+    mc.style_dim = 16
+    mc.text_encoder.hidden_dim = 32
+    mc.text_encoder.filter_channels = 64
+    mc.text_encoder.heads = 2
+    mc.text_encoder.layers = 1
+    mc.decoder.hidden_dim = 32
+    mc.decoder.residual_dim = 16
+    mc.generator.input_dim = 32
+    mc.generator.conformer_layers = 1
+    mc.generator.conv_layers = 4
+    mc.generator.io_conv_kernel_size = 7
+    mc.pitch_energy_predictor.inter_dim = 32
+    mc.duration_predictor.n_layer = 1
+    mc.style_encoder.max_channels = 64
+    return mc
+
+
+MC = small_model_config()
+B, T_TEXT, FRAMES = 2, 12, 40
+SAMPLES = FRAMES * MC.hop_length
+
+
+@pytest.fixture(scope="module")
+def models():
+    return build_model(MC)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return jax.random.PRNGKey(0)
+
+
+def _texts():
+    texts = jnp.asarray(np.random.default_rng(0).integers(1, 170, (B, T_TEXT)))
+    lengths = jnp.asarray([T_TEXT, T_TEXT - 3])
+    return texts, lengths
+
+
+def _alignment():
+    a = np.zeros((B, T_TEXT, FRAMES), np.float32)
+    per = FRAMES // T_TEXT
+    for i in range(T_TEXT):
+        a[:, i, i * per : (i + 1) * per] = 1.0
+    a[:, -1, T_TEXT * per :] = 1.0
+    return jnp.asarray(a)
+
+
+def test_model_registry_complete(models):
+    assert sorted(models.keys()) == sorted(MODEL_NAMES)
+    assert len(models) == 13
+
+
+def test_text_aligner(models, rng):
+    mel = jnp.asarray(np.random.randn(B, FRAMES, 80).astype(np.float32))
+    lengths = jnp.asarray([FRAMES, FRAMES - 5])
+    params = models["text_aligner"].init(rng, mel, lengths)
+    out = models["text_aligner"].apply(params, mel, lengths)
+    assert out.shape == (B, FRAMES, 179)
+    # log-probs normalize
+    np.testing.assert_allclose(
+        np.exp(np.asarray(out)).sum(-1), 1.0, atol=1e-4
+    )
+
+
+def test_speech_predictor_end_to_end(models, rng):
+    texts, lengths = _texts()
+    align = _alignment()
+    pitch = jnp.full((B, FRAMES), 120.0)
+    energy = jnp.zeros((B, FRAMES))
+    voiced = jnp.ones((B, FRAMES))
+    style = jnp.zeros((B, MC.style_dim))
+    params = models["speech_predictor"].init(
+        {"params": rng}, texts, lengths, align, pitch, energy, voiced, style,
+        pitch, rng=rng,
+    )
+    pred = models["speech_predictor"].apply(
+        params, texts, lengths, align, pitch, energy, voiced, style, pitch,
+        rng=rng,
+    )
+    assert pred.audio.shape == (B, SAMPLES)
+    audio = np.asarray(pred.audio)
+    assert np.isfinite(audio).all()
+    assert np.abs(audio).max() <= 1.0
+
+
+def test_style_encoders(models, rng):
+    style_mel = jnp.asarray(np.random.randn(B, 80, FRAMES).astype(np.float32))
+    pitch = jnp.full((B, FRAMES), 100.0)
+    energy = jnp.zeros((B, FRAMES))
+    p1 = models["speech_style_encoder"].init(rng, style_mel)
+    s1 = models["speech_style_encoder"].apply(p1, style_mel)
+    assert s1.shape == (B, MC.style_dim)
+    p2 = models["pe_style_encoder"].init(rng, style_mel, pitch, energy)
+    s2 = models["pe_style_encoder"].apply(p2, style_mel, pitch, energy)
+    assert s2.shape == (B, MC.style_dim)
+    p3 = models["duration_style_encoder"].init(rng, style_mel)
+    s3 = models["duration_style_encoder"].apply(p3, style_mel)
+    assert s3.shape == (B, MC.style_dim)
+
+
+def test_duration_predictor(models, rng):
+    texts, lengths = _texts()
+    style = jnp.zeros((B, MC.style_dim))
+    params = models["duration_predictor"].init(rng, texts, lengths, style)
+    out = models["duration_predictor"].apply(params, texts, lengths, style)
+    assert out.shape == (B, T_TEXT, MC.duration_predictor.duration_classes)
+    o = np.asarray(out)
+    assert np.isfinite(o).all()
+    # all logits are non-positive (-|cumsum| ordinal construction) and
+    # masked positions are exactly zero
+    assert (o <= 1e-6).all()
+    assert np.abs(o[1, T_TEXT - 3 :]).max() == 0.0
+
+
+def test_pitch_energy_predictor(models, rng):
+    texts, lengths = _texts()
+    align = _alignment()
+    style = jnp.zeros((B, MC.style_dim))
+    params = models["pitch_energy_predictor"].init(rng, texts, lengths, align, style)
+    f0, n = models["pitch_energy_predictor"].apply(
+        params, texts, lengths, align, style
+    )
+    assert f0.shape == (B, FRAMES) and n.shape == (B, FRAMES)
+
+
+def test_discriminators(models, rng):
+    audio = jnp.asarray(np.random.randn(B, SAMPLES).astype(np.float32) * 0.2)
+    spec = jnp.asarray(np.random.rand(B, 1, 64, 30).astype(np.float32))
+    pd_in = jnp.asarray(np.random.randn(B, 2, FRAMES).astype(np.float32))
+    dd_in = jnp.asarray(np.random.randn(B, 1, T_TEXT).astype(np.float32))
+
+    p = models["mrd0"].init(rng, spec)
+    outs = models["mrd0"].apply(p, spec)
+    assert len(outs) == 5 and all(o.shape[0] == B for o in outs)
+
+    p = models["disc"].init(rng, audio)
+    outs = models["disc"].apply(p, audio)
+    assert len(outs) == 1 and outs[0].shape[0] == B
+
+    p = models["pitch_disc"].init(rng, pd_in)
+    outs = models["pitch_disc"].apply(p, pd_in)
+    assert len(outs) == 5
+
+    p = models["dur_disc"].init(rng, dd_in)
+    outs = models["dur_disc"].apply(p, dd_in)
+    assert len(outs) == 5
