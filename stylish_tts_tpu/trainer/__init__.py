@@ -1,0 +1,3 @@
+from . import optim, state, steps
+
+__all__ = ["optim", "state", "steps"]

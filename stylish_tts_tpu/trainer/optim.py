@@ -1,0 +1,88 @@
+"""Per-module optimization: AdamW + cosine schedule + gap-aware disc LR.
+
+Capability parity with the reference MultiOptimizer
+(reference: train/optimizers.py): one AdamW per module
+(betas (0.85, 0.99), eps 1e-9, weight decay 1e-4,
+optimizers.py:132-136), a cosine schedule over 10k logical steps
+rescaled to the stage length with a plateau at 90%
+(optimizers.py:96-103), and discriminator LR = generator LR x a
+gap-aware multiplier recomputed every step (optimizers.py:54-65).
+
+TPU-native: the learning rate is a traced scalar fed into the jit'd
+step (one compiled program per stage, no Python-side param-group
+mutation); the gap multiplier is computed inside the step from the
+discriminator-loss EMA carried in TrainState.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+LOGICAL_STEP_LIMIT = 10_000
+PLATEAU = 0.9
+
+ADAM_B1 = 0.85
+ADAM_B2 = 0.99
+ADAM_EPS = 1e-9
+WEIGHT_DECAY = 1e-4
+
+
+def make_optimizer() -> optax.GradientTransformation:
+    """LR-less AdamW core; the step scales updates by the live LR."""
+    return optax.chain(
+        optax.scale_by_adam(b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS),
+        optax.add_decayed_weights(WEIGHT_DECAY),
+    )
+
+
+def init_opt_states(params: Dict[str, Any]) -> Dict[str, Any]:
+    tx = make_optimizer()
+    return {name: tx.init(p) for name, p in params.items()}
+
+
+def apply_module_update(
+    params: Any, opt_state: Any, grads: Any, lr: jnp.ndarray
+) -> tuple:
+    """One AdamW step on a single module's params with a traced LR."""
+    tx = make_optimizer()
+    updates, new_state = tx.update(grads, opt_state, params)
+    updates = jax.tree.map(lambda u: -lr * u, updates)
+    return optax.apply_updates(params, updates), new_state
+
+
+def cosine_lr(base_lr: float, step: jnp.ndarray, stage_steps: int) -> jnp.ndarray:
+    """Cosine decay over the stage, expressed in 10k logical steps with a
+    plateau at 90% (reference optimizers.py:96-103)."""
+    logical = step * LOGICAL_STEP_LIMIT // max(stage_steps, 1)
+    logical = jnp.minimum(logical, int(LOGICAL_STEP_LIMIT * PLATEAU))
+    progress = logical.astype(jnp.float32) / LOGICAL_STEP_LIMIT
+    return base_lr * 0.5 * (1.0 + jnp.cos(math.pi * progress))
+
+
+# EMA sub-counts per discriminator (number of score heads; reference
+# losses.py:171-176: mrd/pitch/dur have 5 heads, disc has 1).
+DISC_SUB_COUNT = {
+    "mrd0": 5.0,
+    "mrd1": 5.0,
+    "mrd2": 5.0,
+    "disc": 1.0,
+    "pitch_disc": 5.0,
+    "dur_disc": 5.0,
+}
+
+
+def init_disc_ema() -> Dict[str, jnp.ndarray]:
+    return {
+        name: jnp.asarray(0.5 * count, jnp.float32)
+        for name, count in DISC_SUB_COUNT.items()
+    }
+
+
+def update_disc_ema(ema: jnp.ndarray, raw_loss: jnp.ndarray) -> jnp.ndarray:
+    """last_loss = 0.95*last + 0.05*loss (reference losses.py:287)."""
+    return ema * 0.95 + jax.lax.stop_gradient(raw_loss) * 0.05

@@ -1,0 +1,589 @@
+"""Per-stage jit'd train steps: pure state x batch -> state x metrics.
+
+Stage semantics mirror the reference stage registry
+(reference: train/stage_type.py:268-658 and stage.py:104-147):
+
+  alignment: CTC on aligner posteriors w/ label priors; priors
+             accumulated in TrainState (losses.py:538-560).
+  acoustic:  GT prosody -> speech_predictor -> audio; mel +
+             multi-phase + adversarial (3 MRD + waveform disc) + slm;
+             then a discriminator step on a per-step random MRD index
+             plus the waveform disc, with grads scaled by sqrt(B).
+  textual:   predicted pitch/energy through the frozen speech
+             predictor; mel + pitch/energy smooth-L1 + pitch adv.
+  duration:  duration classes; smooth-L1 + weighted CE + duration adv.
+
+TPU-native: the whole G+D update is ONE compiled program per stage —
+the random MRD choice is a traced lax branch, the gap-aware disc LR is
+computed from EMAs carried in TrainState, gradient all-reduce is
+jax.lax.pmean over the data-parallel mesh axis when present.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import losses as L
+from ..dsp.mel import MelSpectrogram
+from ..dsp.multi_spectrogram import MultiSpectrogram
+from ..ops import ctc as ctc_ops
+from ..ops.duration import DurationProcessor
+from .optim import (
+    DISC_SUB_COUNT,
+    apply_module_update,
+    cosine_lr,
+    update_disc_ema,
+)
+from .state import TrainState
+
+
+class Batch(NamedTuple):
+    """One fixed-shape (bucketed) training batch."""
+
+    audio_gt: jnp.ndarray  # (B, S) float32, S = frames*hop
+    text: jnp.ndarray  # (B, L) int32
+    text_lengths: jnp.ndarray  # (B,)
+    pitch: jnp.ndarray  # (B, F) float32 F0 Hz
+    durations: jnp.ndarray  # (B, L) int32 frames per token
+
+
+class StepContext:
+    """Static step-construction context (models, config, transforms)."""
+
+    def __init__(self, models, model_config, loss_weights, normalization,
+                 stage_steps: int = 10_000, base_lr: float = 1e-4,
+                 slm_loss_fn=None, axis_name: Optional[str] = None):
+        mc = model_config
+        self.models = models
+        self.mc = mc
+        self.weights = loss_weights
+        self.norm = normalization
+        self.stage_steps = stage_steps
+        self.base_lr = base_lr
+        self.slm_loss_fn = slm_loss_fn
+        self.axis_name = axis_name
+
+        self.to_mel = MelSpectrogram(
+            n_mels=mc.n_mels, n_fft=mc.n_fft, win_length=mc.win_length,
+            hop_length=mc.hop_length, sample_rate=mc.sample_rate,
+        )
+        self.to_style_mel = MelSpectrogram(
+            n_mels=mc.style_encoder.n_mels, n_fft=mc.style_encoder.n_fft,
+            win_length=mc.style_encoder.win_length,
+            hop_length=mc.style_encoder.hop_length, sample_rate=mc.sample_rate,
+        )
+        self.to_align_mel = MelSpectrogram(
+            n_mels=mc.text_aligner.n_mels, n_fft=mc.text_aligner.n_fft,
+            win_length=mc.text_aligner.win_length,
+            hop_length=mc.hop_length * mc.coarse_multiplier,
+            sample_rate=mc.sample_rate,
+        )
+        self.multi_spec = MultiSpectrogram(sample_rate=mc.sample_rate)
+        self.duration_processor = DurationProcessor(
+            mc.duration_predictor.duration_classes,
+            mc.duration_predictor.max_duration,
+        )
+        self.blank_id = mc.text_encoder.tokens
+
+    # ---- shared feature computation -------------------------------------
+
+    def norm_mel(self, audio, transform):
+        mel = transform(audio)
+        mel = (jnp.log(1e-5 + mel) - self.norm.mel_log_mean) / self.norm.mel_log_std
+        frames = mel.shape[-1] - (mel.shape[-1] % 2)
+        return mel[:, :, :frames]
+
+    def energy_from_mel(self, mel):
+        """log L2-norm of the denormalized mel (reference utils.py:73-86)."""
+        denorm = jnp.exp(mel * self.norm.mel_log_std + self.norm.mel_log_mean)
+        return jnp.log(jnp.linalg.norm(denorm, axis=1) + 1e-9)
+
+    def pmean(self, tree):
+        if self.axis_name is None:
+            return tree
+        return jax.lax.pmean(tree, self.axis_name)
+
+
+def _split_params(params: Dict[str, Any], train_names):
+    train = {k: params[k] for k in train_names}
+    frozen = {
+        k: jax.lax.stop_gradient(v)
+        for k, v in params.items()
+        if k not in train_names
+    }
+    return train, frozen
+
+
+def _apply_updates(ctx, state, grads, names, lr):
+    """AdamW-update the named modules with a traced LR; grads pmean'd."""
+    grads = ctx.pmean(grads)
+    new_params = dict(state.params)
+    new_opt = dict(state.opt_state)
+    for name in names:
+        new_params[name], new_opt[name] = apply_module_update(
+            state.params[name], state.opt_state[name], grads[name], lr
+        )
+    return new_params, new_opt
+
+
+def _masked_update(ctx, state, params, opt_state, grads, name, lr, apply_mask):
+    """Update one module, keeping old values where apply_mask is False."""
+    grads = ctx.pmean(grads)
+    upd_p, upd_s = apply_module_update(
+        state.params[name], state.opt_state[name], grads, lr
+    )
+    sel = lambda new, old: jnp.where(apply_mask, new, old)
+    params[name] = jax.tree.map(sel, upd_p, state.params[name])
+    opt_state[name] = jax.tree.map(sel, upd_s, state.opt_state[name])
+    return params, opt_state
+
+
+# ==========================================================================
+# Alignment stage
+# ==========================================================================
+
+
+def make_alignment_step(ctx: StepContext):
+    aligner = ctx.models["text_aligner"]
+
+    def step(state: TrainState, batch: Batch):
+        rng, dropout_rng = jax.random.split(state.rng)
+        mel = ctx.norm_mel(batch.audio_gt, ctx.to_align_mel)
+        mel = jnp.moveaxis(mel, 1, 2)  # (B, F, 80)
+        frames = mel.shape[1]
+        mel_lengths = jnp.full((mel.shape[0],), frames, jnp.int32)
+
+        def loss_fn(params):
+            log_probs = aligner.apply(
+                params, mel, mel_lengths, training=True,
+                rngs={"dropout": dropout_rng},
+            )
+            loss = ctc_ops.ctc_loss_with_priors(
+                log_probs, mel_lengths, batch.text, batch.text_lengths,
+                blank_id=ctx.blank_id,
+                log_priors=state.log_priors, prior_scale=0.3,
+            )
+            return loss * ctx.weights.get("align_loss", 1.0), log_probs
+
+        (loss, log_probs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params["text_aligner"]
+        )
+        lr = cosine_lr(ctx.base_lr, state.step, ctx.stage_steps)
+        params = dict(state.params)
+        opt_state = dict(state.opt_state)
+        g = ctx.pmean(grads)
+        params["text_aligner"], opt_state["text_aligner"] = apply_module_update(
+            state.params["text_aligner"], state.opt_state["text_aligner"], g, lr
+        )
+
+        # label-prior accumulation (logsumexp-merge, reference losses.py:538-560)
+        lse, count = ctc_ops.accumulate_label_priors(
+            jax.lax.stop_gradient(log_probs), mel_lengths
+        )
+        merged = jnp.logaddexp(state.log_priors_sum, lse)
+        new_state = state.replace(
+            params=params,
+            opt_state=opt_state,
+            log_priors_sum=merged,
+            prior_count=state.prior_count + count,
+            rng=rng,
+            step=state.step + 1,
+        )
+        metrics = {"align_loss": loss, "lr": lr}
+        return new_state, metrics
+
+    return step
+
+
+def finish_alignment_epoch(ctx: StepContext, state: TrainState) -> TrainState:
+    """End-of-epoch label-prior update; cross-device reduction is a psum
+    outside jit (reference losses.py:617-651 gathers via accelerate)."""
+    new_priors = ctc_ops.update_log_priors(
+        state.log_priors_sum, state.prior_count
+    )
+    n = state.log_priors_sum.shape[0]
+    return state.replace(
+        log_priors=new_priors,
+        log_priors_sum=jnp.full((n,), -1e30, jnp.float32),
+        prior_count=jnp.zeros((), jnp.float32),
+    )
+
+
+# ==========================================================================
+# Acoustic / textual shared machinery
+# ==========================================================================
+
+
+def _acoustic_features(ctx, batch):
+    mel = ctx.norm_mel(batch.audio_gt, ctx.to_mel)
+    style_mel = ctx.norm_mel(batch.audio_gt, ctx.to_style_mel)
+    energy = ctx.energy_from_mel(mel)
+    frames = mel.shape[-1]
+    pitch = batch.pitch[:, :frames]
+    alignment = ctx.duration_processor.duration_to_alignment(
+        batch.durations, frames
+    )
+    return mel, style_mel, energy, pitch, alignment, frames
+
+
+def _adv_generator_metrics(ctx, frozen_disc_params, feats_t, feats_p,
+                           audio_t, audio_p):
+    """Generator-side adversarial loss over 3 MRDs + waveform disc
+    (reference losses.py:313-327)."""
+    total = 0.0
+    for i in range(3):
+        real = ctx.models[f"mrd{i}"].apply(
+            frozen_disc_params[f"mrd{i}"], feats_t.fft_mag[i]
+        )
+        fake = ctx.models[f"mrd{i}"].apply(
+            frozen_disc_params[f"mrd{i}"], feats_p.fft_mag[i]
+        )
+        total = total + L.generator_pair_loss(real, fake)
+    real = ctx.models["disc"].apply(frozen_disc_params["disc"], audio_t)
+    fake = ctx.models["disc"].apply(frozen_disc_params["disc"], audio_p)
+    total = total + L.DISC_AUDIO_WEIGHT * L.generator_pair_loss(real, fake)
+    return total
+
+
+def _disc_phase_mrd(ctx, state, feats_t_fft, pred_fft_detached, audio_t,
+                    audio_p_detached, disc_index, lr, sqrt_b):
+    """Discriminator step: loss over all 3 MRDs + disc, update only the
+    sampled MRD + disc (reference stage.py:128-146)."""
+
+    def disc_loss_fn(disc_params):
+        total = 0.0
+        raws = {}
+        for i in range(3):
+            real = ctx.models[f"mrd{i}"].apply(
+                disc_params[f"mrd{i}"], feats_t_fft[i]
+            )
+            fake = ctx.models[f"mrd{i}"].apply(
+                disc_params[f"mrd{i}"], pred_fft_detached[i]
+            )
+            pair, raw = L.discriminator_pair_loss(real, fake)
+            total = total + pair
+            raws[f"mrd{i}"] = raw
+        real = ctx.models["disc"].apply(disc_params["disc"], audio_t)
+        fake = ctx.models["disc"].apply(disc_params["disc"], audio_p_detached)
+        pair, raw = L.discriminator_pair_loss(real, fake)
+        total = total + L.DISC_AUDIO_WEIGHT * pair
+        raws["disc"] = raw
+        return total * sqrt_b, raws
+
+    disc_names = ["mrd0", "mrd1", "mrd2", "disc"]
+    disc_params = {k: state.params[k] for k in disc_names}
+    (d_loss, raws), grads = jax.value_and_grad(disc_loss_fn, has_aux=True)(
+        disc_params
+    )
+
+    params = dict(state.params)
+    opt_state = dict(state.opt_state)
+    disc_ema = dict(state.disc_ema)
+    for i in range(3):
+        name = f"mrd{i}"
+        mult = L.disc_lr_multiplier(state.disc_ema[name], DISC_SUB_COUNT[name])
+        params, opt_state = _masked_update(
+            ctx, state, params, opt_state, grads[name], name, lr * mult,
+            apply_mask=(disc_index == i),
+        )
+        disc_ema[name] = update_disc_ema(state.disc_ema[name], raws[name])
+    mult = L.disc_lr_multiplier(state.disc_ema["disc"], DISC_SUB_COUNT["disc"])
+    g = ctx.pmean(grads["disc"])
+    params["disc"], opt_state["disc"] = apply_module_update(
+        state.params["disc"], state.opt_state["disc"], g, lr * mult
+    )
+    disc_ema["disc"] = update_disc_ema(state.disc_ema["disc"], raws["disc"])
+    return params, opt_state, disc_ema, d_loss / sqrt_b
+
+
+def make_acoustic_step(ctx: StepContext):
+    train_names = ("speech_predictor", "speech_style_encoder")
+
+    def step(state: TrainState, batch: Batch):
+        rng, r_drop, r_model, r_idx = jax.random.split(state.rng, 4)
+        mel, style_mel, energy, pitch, alignment, frames = _acoustic_features(
+            ctx, batch
+        )
+        audio_t = batch.audio_gt[:, : frames * ctx.mc.hop_length]
+        disc_index = jax.random.randint(r_idx, (), 0, 3)
+        sqrt_b = math.sqrt(batch.text.shape[0])
+        feats_t = jax.tree.map(
+            jax.lax.stop_gradient, ctx.multi_spec(audio_t)
+        )
+
+        def gen_loss_fn(train_params):
+            style = ctx.models["speech_style_encoder"].apply(
+                train_params["speech_style_encoder"], style_mel,
+            )
+            voiced = (pitch > 20.0).astype(jnp.float32)
+            pred = ctx.models["speech_predictor"].apply(
+                train_params["speech_predictor"],
+                batch.text, batch.text_lengths, alignment,
+                pitch, energy, voiced, style, pitch,
+                rng=r_model, training=True,
+                rngs={"dropout": r_drop},
+            )
+            feats_p = ctx.multi_spec(pred.audio)
+            metrics = {
+                "mel": L.spectral_convergence_loss(feats_t.mel, feats_p.mel),
+                "multi_phase": L.multi_phase_loss(feats_p.phase, feats_t.phase),
+                "generator": _adv_generator_metrics(
+                    ctx,
+                    {k: jax.lax.stop_gradient(state.params[k])
+                     for k in ("mrd0", "mrd1", "mrd2", "disc")},
+                    feats_t, feats_p, audio_t, pred.audio,
+                ),
+            }
+            if ctx.slm_loss_fn is not None:
+                metrics["slm"] = ctx.slm_loss_fn(audio_t, pred.audio)
+            total = L.backwards_loss(metrics, ctx.weights)
+            return total, (metrics, pred.audio, feats_p.fft_mag)
+
+        train_params, _ = _split_params(state.params, train_names)
+        (_, (metrics, pred_audio, pred_fft)), grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True
+        )(train_params)
+
+        lr = cosine_lr(ctx.base_lr, state.step, ctx.stage_steps)
+        params, opt_state = _apply_updates(ctx, state, grads, train_names, lr)
+
+        # --- discriminator phase on detached outputs ---
+        mid_state = state.replace(params=params, opt_state=opt_state)
+        pred_audio_d = jax.lax.stop_gradient(pred_audio)
+        pred_fft_d = [jax.lax.stop_gradient(f) for f in pred_fft]
+        params, opt_state, disc_ema, d_loss = _disc_phase_mrd(
+            ctx, mid_state, feats_t.fft_mag, pred_fft_d, audio_t,
+            pred_audio_d, disc_index, lr, sqrt_b,
+        )
+
+        new_state = state.replace(
+            params=params, opt_state=opt_state, disc_ema=disc_ema,
+            rng=rng, step=state.step + 1,
+        )
+        metrics = dict(metrics)
+        metrics["discriminator"] = d_loss
+        metrics["lr"] = lr
+        return new_state, metrics
+
+    return step
+
+
+def make_textual_step(ctx: StepContext):
+    train_names = ("pitch_energy_predictor", "pe_style_encoder")
+
+    def step(state: TrainState, batch: Batch):
+        rng, r_drop, r_model = jax.random.split(state.rng, 3)
+        mel, style_mel, energy, pitch, alignment, frames = _acoustic_features(
+            ctx, batch
+        )
+        audio_t = batch.audio_gt[:, : frames * ctx.mc.hop_length]
+        voiced = (pitch > 10.0).astype(jnp.float32)
+        sqrt_b = math.sqrt(batch.text.shape[0])
+        feats_t = jax.tree.map(jax.lax.stop_gradient, ctx.multi_spec(audio_t))
+        frozen = {
+            k: jax.lax.stop_gradient(state.params[k])
+            for k in ("speech_predictor", "speech_style_encoder", "pitch_disc")
+        }
+
+        def gen_loss_fn(train_params):
+            pe_style = ctx.models["pe_style_encoder"].apply(
+                train_params["pe_style_encoder"], style_mel, pitch, energy,
+            )
+            pred_pitch, pred_energy = ctx.models["pitch_energy_predictor"].apply(
+                train_params["pitch_energy_predictor"],
+                batch.text, batch.text_lengths, alignment, pe_style,
+                training=True, rngs={"dropout": r_drop},
+            )
+            # run the frozen acoustic path on predicted prosody
+            speech_style = ctx.models["speech_style_encoder"].apply(
+                frozen["speech_style_encoder"], style_mel,
+            )
+            pred_voiced = (pred_pitch > 20.0).astype(jnp.float32)
+            pred = ctx.models["speech_predictor"].apply(
+                frozen["speech_predictor"],
+                batch.text, batch.text_lengths, alignment,
+                pred_pitch, pred_energy, pred_voiced, speech_style, pred_pitch,
+                rng=r_model, training=False,
+            )
+            feats_p = ctx.multi_spec(pred.audio)
+
+            pitchcat = jnp.stack([pitch * voiced, energy], axis=1)
+            pred_pitchcat = jnp.stack(
+                [pred_pitch * voiced, pred_energy], axis=1
+            )
+            real = ctx.models["pitch_disc"].apply(
+                frozen["pitch_disc"], pitchcat
+            )
+            fake = ctx.models["pitch_disc"].apply(
+                frozen["pitch_disc"], pred_pitchcat
+            )
+            metrics = {
+                "mel": L.spectral_convergence_loss(feats_t.mel, feats_p.mel),
+                "generator": L.generator_pair_loss(real, fake),
+            }
+            metrics.update(
+                L.pitch_energy_losses(pred_pitch, pitch, pred_energy, energy)
+            )
+            total = L.backwards_loss(metrics, ctx.weights)
+            return total, (metrics, pitchcat, pred_pitchcat)
+
+        train_params, _ = _split_params(state.params, train_names)
+        (_, (metrics, pitchcat, pred_pitchcat)), grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True
+        )(train_params)
+        lr = cosine_lr(ctx.base_lr, state.step, ctx.stage_steps)
+        params, opt_state = _apply_updates(ctx, state, grads, train_names, lr)
+
+        # --- pitch discriminator phase ---
+        def disc_loss_fn(disc_params):
+            real = ctx.models["pitch_disc"].apply(disc_params, pitchcat)
+            fake = ctx.models["pitch_disc"].apply(
+                disc_params, jax.lax.stop_gradient(pred_pitchcat)
+            )
+            pair, raw = L.discriminator_pair_loss(real, fake)
+            return pair * sqrt_b, raw
+
+        (d_loss, raw), dgrads = jax.value_and_grad(
+            disc_loss_fn, has_aux=True
+        )(state.params["pitch_disc"])
+        mult = L.disc_lr_multiplier(
+            state.disc_ema["pitch_disc"], DISC_SUB_COUNT["pitch_disc"]
+        )
+        g = ctx.pmean(dgrads)
+        params["pitch_disc"], opt_state["pitch_disc"] = apply_module_update(
+            state.params["pitch_disc"], state.opt_state["pitch_disc"], g,
+            lr * mult,
+        )
+        disc_ema = dict(state.disc_ema)
+        disc_ema["pitch_disc"] = update_disc_ema(
+            state.disc_ema["pitch_disc"], raw
+        )
+
+        new_state = state.replace(
+            params=params, opt_state=opt_state, disc_ema=disc_ema,
+            rng=rng, step=state.step + 1,
+        )
+        metrics = dict(metrics)
+        metrics["discriminator"] = d_loss / sqrt_b
+        metrics["lr"] = lr
+        return new_state, metrics
+
+    return step
+
+
+def make_duration_step(ctx: StepContext, duration_class_weights):
+    train_names = ("duration_predictor", "duration_style_encoder")
+
+    def step(state: TrainState, batch: Batch):
+        rng, r_drop = jax.random.split(state.rng)
+        style_mel = ctx.norm_mel(batch.audio_gt, ctx.to_style_mel)
+        target_dur = batch.durations.astype(jnp.float32)
+        targets = ctx.duration_processor.dur_to_class(batch.durations)
+        sqrt_b = math.sqrt(batch.text.shape[0])
+        frozen_dd = jax.lax.stop_gradient(state.params["dur_disc"])
+
+        def gen_loss_fn(train_params):
+            dstyle = ctx.models["duration_style_encoder"].apply(
+                train_params["duration_style_encoder"], style_mel,
+            )
+            duration_raw = ctx.models["duration_predictor"].apply(
+                train_params["duration_predictor"],
+                batch.text, batch.text_lengths, dstyle,
+                training=True, rngs={"dropout": r_drop},
+            )
+            duration = ctx.duration_processor.prediction_to_duration(
+                duration_raw, batch.text_lengths
+            )
+            dur_l1 = L.masked_smooth_l1_per_sequence(
+                duration, target_dur, batch.text_lengths
+            )
+            ce = L.duration_ce_loss(
+                duration_raw, targets, batch.text_lengths,
+                duration_class_weights,
+            )
+            real = ctx.models["dur_disc"].apply(
+                frozen_dd, target_dur[:, None, :]
+            )
+            fake = ctx.models["dur_disc"].apply(
+                frozen_dd, duration[:, None, :]
+            )
+            metrics = {
+                "duration": dur_l1,
+                "duration_ce": ce,
+                "generator": L.generator_pair_loss(real, fake),
+            }
+            total = L.backwards_loss(metrics, ctx.weights)
+            return total, (metrics, duration)
+
+        train_params, _ = _split_params(state.params, train_names)
+        (_, (metrics, duration)), grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True
+        )(train_params)
+        lr = cosine_lr(ctx.base_lr, state.step, ctx.stage_steps)
+        params, opt_state = _apply_updates(ctx, state, grads, train_names, lr)
+
+        def disc_loss_fn(disc_params):
+            real = ctx.models["dur_disc"].apply(
+                disc_params, target_dur[:, None, :]
+            )
+            fake = ctx.models["dur_disc"].apply(
+                disc_params, jax.lax.stop_gradient(duration)[:, None, :]
+            )
+            pair, raw = L.discriminator_pair_loss(real, fake)
+            return pair * sqrt_b, raw
+
+        (d_loss, raw), dgrads = jax.value_and_grad(
+            disc_loss_fn, has_aux=True
+        )(state.params["dur_disc"])
+        mult = L.disc_lr_multiplier(
+            state.disc_ema["dur_disc"], DISC_SUB_COUNT["dur_disc"]
+        )
+        g = ctx.pmean(dgrads)
+        params["dur_disc"], opt_state["dur_disc"] = apply_module_update(
+            state.params["dur_disc"], state.opt_state["dur_disc"], g, lr * mult
+        )
+        disc_ema = dict(state.disc_ema)
+        disc_ema["dur_disc"] = update_disc_ema(state.disc_ema["dur_disc"], raw)
+
+        new_state = state.replace(
+            params=params, opt_state=opt_state, disc_ema=disc_ema,
+            rng=rng, step=state.step + 1,
+        )
+        metrics = dict(metrics)
+        metrics["discriminator"] = d_loss / sqrt_b
+        metrics["lr"] = lr
+        return new_state, metrics
+
+    return step
+
+
+STEP_BUILDERS = {
+    "alignment": make_alignment_step,
+    "acoustic": make_acoustic_step,
+    "textual": make_textual_step,
+}
+
+STAGE_SEQUENCE = {
+    "alignment": None,
+    "acoustic": "textual",
+    "textual": "duration",
+    "duration": None,
+}
+
+STAGE_TRAIN_MODELS = {
+    "alignment": ["text_aligner"],
+    "acoustic": ["speech_predictor", "speech_style_encoder"],
+    "textual": ["pitch_energy_predictor", "pe_style_encoder"],
+    "duration": ["duration_predictor", "duration_style_encoder"],
+}
+
+STAGE_DISCRIMINATORS = {
+    "alignment": [],
+    "acoustic": ["mrd0", "mrd1", "mrd2", "disc"],
+    "textual": ["pitch_disc"],
+    "duration": ["dur_disc"],
+}

@@ -1,0 +1,170 @@
+"""One jit'd train step per stage on the virtual 8-device CPU mesh.
+
+Validates: the G+D step compiles, runs data-parallel, updates the right
+modules, and leaves every metric finite (SURVEY.md §4 multi-host-sim).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stylish_tts_tpu.config import Config, ModelConfig
+from stylish_tts_tpu.models import build_model
+from stylish_tts_tpu.parallel import jit_data_parallel_step, make_mesh
+from stylish_tts_tpu.trainer.init import init_all_params
+from stylish_tts_tpu.trainer.normalization import NormalizationStats
+from stylish_tts_tpu.trainer.state import create_train_state
+from stylish_tts_tpu.trainer.steps import (
+    Batch,
+    StepContext,
+    finish_alignment_epoch,
+    make_acoustic_step,
+    make_alignment_step,
+    make_duration_step,
+    make_textual_step,
+)
+
+
+def small_model_config():
+    mc = ModelConfig()
+    mc.inter_dim = 32
+    mc.style_dim = 16
+    mc.text_encoder.hidden_dim = 32
+    mc.text_encoder.filter_channels = 64
+    mc.text_encoder.heads = 2
+    mc.text_encoder.layers = 1
+    mc.decoder.hidden_dim = 32
+    mc.decoder.residual_dim = 16
+    mc.generator.input_dim = 32
+    mc.generator.conformer_layers = 1
+    mc.generator.conv_layers = 4
+    mc.generator.io_conv_kernel_size = 7
+    mc.pitch_energy_predictor.inter_dim = 32
+    mc.duration_predictor.n_layer = 1
+    mc.style_encoder.max_channels = 64
+    return mc
+
+
+MC = small_model_config()
+B, L, F = 8, 10, 40  # batch divisible by the 8-device mesh
+S = F * MC.hop_length
+
+
+@pytest.fixture(scope="module")
+def setup():
+    models = build_model(MC)
+    rng = jax.random.PRNGKey(0)
+    params = init_all_params(models, MC, rng, frames=F, text_len=L, batch=1)
+    state = create_train_state(params, MC.text_encoder.tokens + 1)
+    cfg = Config()
+    ctx = StepContext(
+        models, MC, cfg.loss_weight.model_dump(), NormalizationStats(),
+        stage_steps=100, base_lr=1e-4,
+    )
+    return models, state, ctx
+
+
+def _batch(seed=0):
+    rng = np.random.default_rng(seed)
+    audio = (rng.standard_normal((B, S)) * 0.1).astype(np.float32)
+    text = rng.integers(1, 170, (B, L)).astype(np.int32)
+    lengths = np.full((B,), L, np.int32)
+    pitch = np.full((B, F), 120.0, np.float32)
+    durs = np.full((B, L), F // L, np.int32)
+    return Batch(
+        jnp.asarray(audio), jnp.asarray(text), jnp.asarray(lengths),
+        jnp.asarray(pitch), jnp.asarray(durs),
+    )
+
+
+def _changed(a, b):
+    return any(
+        not np.allclose(x, y)
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_alignment_step(setup):
+    models, state, ctx = setup
+    step = jit_data_parallel_step(
+        make_alignment_step(ctx), make_mesh(), donate_state=False
+    )
+    new_state, metrics = step(state, _batch())
+    assert np.isfinite(float(metrics["align_loss"]))
+    assert _changed(state.params["text_aligner"], new_state.params["text_aligner"])
+    assert not _changed(
+        state.params["speech_predictor"], new_state.params["speech_predictor"]
+    )
+    assert float(new_state.prior_count) > 0
+    # epoch end: priors update and accumulators reset
+    finished = finish_alignment_epoch(ctx, new_state)
+    assert float(finished.prior_count) == 0.0
+    p = np.asarray(finished.log_priors)
+    assert np.all(p >= -12.0) and np.all(p <= 0.5)
+
+
+def test_acoustic_step(setup):
+    models, state, ctx = setup
+    step = jit_data_parallel_step(
+        make_acoustic_step(ctx), make_mesh(), donate_state=False
+    )
+    new_state, metrics = step(state, _batch())
+    for key in ("mel", "multi_phase", "generator", "discriminator"):
+        assert np.isfinite(float(metrics[key])), key
+    assert _changed(
+        state.params["speech_predictor"], new_state.params["speech_predictor"]
+    )
+    assert _changed(
+        state.params["speech_style_encoder"],
+        new_state.params["speech_style_encoder"],
+    )
+    # the waveform disc always steps; exactly one MRD steps
+    assert _changed(state.params["disc"], new_state.params["disc"])
+    mrd_changed = [
+        _changed(state.params[f"mrd{i}"], new_state.params[f"mrd{i}"])
+        for i in range(3)
+    ]
+    assert sum(mrd_changed) == 1
+    # EMAs moved
+    assert _changed(state.disc_ema, new_state.disc_ema)
+
+
+def test_textual_step(setup):
+    models, state, ctx = setup
+    step = jit_data_parallel_step(
+        make_textual_step(ctx), make_mesh(), donate_state=False
+    )
+    new_state, metrics = step(state, _batch())
+    for key in ("mel", "pitch", "energy", "generator", "discriminator"):
+        assert np.isfinite(float(metrics[key])), key
+    assert _changed(
+        state.params["pitch_energy_predictor"],
+        new_state.params["pitch_energy_predictor"],
+    )
+    # frozen speech predictor untouched
+    assert not _changed(
+        state.params["speech_predictor"], new_state.params["speech_predictor"]
+    )
+    assert _changed(state.params["pitch_disc"], new_state.params["pitch_disc"])
+
+
+def test_duration_step(setup):
+    models, state, ctx = setup
+    weights = jnp.ones((MC.duration_predictor.duration_classes,))
+    step = jit_data_parallel_step(
+        make_duration_step(ctx, weights), make_mesh(), donate_state=False
+    )
+    new_state, metrics = step(state, _batch())
+    for key in ("duration", "duration_ce", "generator", "discriminator"):
+        assert np.isfinite(float(metrics[key])), key
+    assert _changed(
+        state.params["duration_predictor"],
+        new_state.params["duration_predictor"],
+    )
+    assert _changed(state.params["dur_disc"], new_state.params["dur_disc"])
