@@ -1,0 +1,328 @@
+"""Command-line interface.
+
+Parity with the reference console scripts
+(reference: train/cli.py:43-428 `stylish-train` with subcommands
+train-align/align/align-textgrid/pitch/train/convert/voicepack, and
+tts/cli.py:13-96 `stylish-tts speak`).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import os.path as osp
+import sys
+
+import click
+import numpy as np
+
+from .config import (
+    Config,
+    ModelConfig,
+    load_config_yaml,
+    load_model_config_yaml,
+)
+
+logger = logging.getLogger("stylish_tts_tpu")
+
+
+def _load_configs(config_path, model_config_path):
+    config = load_config_yaml(config_path) if config_path else Config()
+    if model_config_path:
+        model_config = load_model_config_yaml(model_config_path)
+    else:
+        model_config = ModelConfig()
+    return config, model_config
+
+
+@click.group()
+def train_cli():
+    """stylish-train: TPU-native training toolkit."""
+
+
+@train_cli.command("train-align")
+@click.option("--config", "config_path", required=True, type=click.Path(exists=True))
+@click.option("--model-config", "model_config_path", type=click.Path(exists=True))
+@click.option("--out", "out_dir", required=True, type=click.Path())
+@click.option("--checkpoint", default=None, type=click.Path(exists=True))
+def train_align(config_path, model_config_path, out_dir, checkpoint):
+    """Alignment (CTC) pretraining; saves alignment_model.safetensors."""
+    from .trainer.loop import Trainer
+
+    config, model_config = _load_configs(config_path, model_config_path)
+    trainer = Trainer(config, model_config, out_dir)
+    trainer.train("alignment", checkpoint=checkpoint)
+
+
+@train_cli.command("align")
+@click.option("--config", "config_path", required=True, type=click.Path(exists=True))
+@click.option("--model-config", "model_config_path", type=click.Path(exists=True))
+@click.option("--out", "out_dir", required=True, type=click.Path())
+def align(config_path, model_config_path, out_dir):
+    """Generate the forced-alignment cache for both splits."""
+    from .dataprep.align import calculate_alignments, write_alignment_outputs
+    from .trainer.loop import Trainer
+    from .utils.params_io import load_params_safetensors
+
+    config, model_config = _load_configs(config_path, model_config_path)
+    trainer = Trainer(config, model_config, out_dir)
+    aligner_path = trainer.data_path(config.dataset.alignment_model_path)
+    if not osp.isfile(aligner_path):
+        raise click.ClickException(
+            f"No alignment model at {aligner_path}; run train-align first."
+        )
+    params = load_params_safetensors(aligner_path)
+    train_ds = trainer.build_dataset(config.dataset.train_data)
+    val_ds = trainer.build_dataset(config.dataset.val_data)
+    trainer.init_normalization(train_ds, out_dir)
+
+    durations, confidences = {}, {}
+    for split, ds in (("train", train_ds), ("val", val_ds)):
+        durations[split], confidences[split] = calculate_alignments(
+            ds, trainer.models["text_aligner"], params, model_config,
+            trainer.normalization,
+        )
+    write_alignment_outputs(
+        out_dir, trainer.data_path(config.dataset.alignment_path),
+        durations, confidences,
+    )
+    click.echo(
+        f"wrote alignments for "
+        f"{sum(len(v) for v in durations.values())} segments"
+    )
+
+
+@train_cli.command("align-textgrid")
+@click.option("--config", "config_path", required=True, type=click.Path(exists=True))
+@click.option("--model-config", "model_config_path", type=click.Path(exists=True))
+@click.option("--out", "out_dir", required=True, type=click.Path())
+@click.option("--segment", required=True, help="wav filename from the train list")
+def align_textgrid(config_path, model_config_path, out_dir, segment):
+    """Align one segment and write a Praat .TextGrid for inspection
+    (reference: dataprep/align_textgrid.py:69-155)."""
+    from .dataprep.align import calculate_alignments
+    from .trainer.loop import Trainer
+    from .utils.params_io import load_params_safetensors
+
+    config, model_config = _load_configs(config_path, model_config_path)
+    trainer = Trainer(config, model_config, out_dir)
+    params = load_params_safetensors(
+        trainer.data_path(config.dataset.alignment_model_path)
+    )
+    ds = trainer.build_dataset(config.dataset.train_data)
+    trainer.init_normalization(ds, out_dir)
+    target = [s for s in ds.segments if s.wav_path == segment]
+    if not target:
+        raise click.ClickException(f"segment {segment} not in train list")
+    ds.segments = target
+    durations, confidences = calculate_alignments(
+        ds, trainer.models["text_aligner"], params, model_config,
+        trainer.normalization,
+    )
+    durs = durations[segment][0]
+    hop_s = model_config.hop_length / model_config.sample_rate
+    phonemes = "$" + target[0].phonemes + "$"
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = osp.join(out_dir, segment.replace(".wav", ".TextGrid"))
+    _write_textgrid(out_path, phonemes, durs, hop_s)
+    click.echo(
+        f"wrote {out_path} (confidence {confidences[segment]:.3f})"
+    )
+
+
+def _write_textgrid(path, phonemes, durations, hop_seconds):
+    total = float(durations.sum()) * hop_seconds
+    lines = [
+        'File type = "ooTextFile"', 'Object class = "TextGrid"', "",
+        "xmin = 0", f"xmax = {total:.6f}", "tiers? <exists>", "size = 1",
+        "item []:", "    item [1]:", '        class = "IntervalTier"',
+        '        name = "phones"', "        xmin = 0",
+        f"        xmax = {total:.6f}",
+        f"        intervals: size = {len(durations)}",
+    ]
+    t = 0.0
+    for i, d in enumerate(durations):
+        t2 = t + float(d) * hop_seconds
+        ph = phonemes[i] if i < len(phonemes) else ""
+        lines += [
+            f"        intervals [{i + 1}]:",
+            f"            xmin = {t:.6f}",
+            f"            xmax = {t2:.6f}",
+            f'            text = "{ph}"',
+        ]
+        t = t2
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+@train_cli.command("pitch")
+@click.option("--config", "config_path", required=True, type=click.Path(exists=True))
+@click.option("--model-config", "model_config_path", type=click.Path(exists=True))
+@click.option("--out", "out_dir", required=True, type=click.Path())
+def pitch(config_path, model_config_path, out_dir):
+    """Generate the pitch cache (batched YIN on the accelerator)."""
+    from .data.caches import save_cache
+    from .dataprep.pitch import extract_pitch_for_dataset
+    from .trainer.loop import Trainer
+
+    config, model_config = _load_configs(config_path, model_config_path)
+    trainer = Trainer(config, model_config, out_dir)
+    cache = {}
+    for list_name in (config.dataset.train_data, config.dataset.val_data):
+        ds = trainer.build_dataset(list_name)
+        cache.update(
+            extract_pitch_for_dataset(
+                ds, model_config.hop_length, model_config.sample_rate
+            )
+        )
+    out_path = trainer.data_path(config.dataset.pitch_path)
+    save_cache(out_path, cache)
+    click.echo(f"wrote pitch for {len(cache)} segments to {out_path}")
+
+
+@train_cli.command("train")
+@click.option("--config", "config_path", required=True, type=click.Path(exists=True))
+@click.option("--model-config", "model_config_path", type=click.Path(exists=True))
+@click.option("--out", "out_dir", required=True, type=click.Path())
+@click.option("--stage", default="acoustic",
+              type=click.Choice(["acoustic", "textual", "duration"]))
+@click.option("--checkpoint", default=None, type=click.Path(exists=True))
+@click.option("--reset-stage", is_flag=True, default=False)
+def train(config_path, model_config_path, out_dir, stage, checkpoint,
+          reset_stage):
+    """Main multi-stage training (acoustic -> textual -> duration)."""
+    from .trainer.loop import Trainer
+
+    config, model_config = _load_configs(config_path, model_config_path)
+    trainer = Trainer(config, model_config, out_dir)
+    trainer.train(stage, checkpoint=checkpoint, reset_stage=reset_stage)
+
+
+@train_cli.command("convert")
+@click.option("--config", "config_path", required=True, type=click.Path(exists=True))
+@click.option("--model-config", "model_config_path", type=click.Path(exists=True))
+@click.option("--checkpoint", required=True, type=click.Path(exists=True))
+@click.option("--out", "out_dir", required=True, type=click.Path())
+@click.option("--stablehlo", is_flag=True, default=False)
+def convert(config_path, model_config_path, checkpoint, out_dir, stablehlo):
+    """Package a checkpoint for inference (params + metadata
+    [+ StableHLO graphs])."""
+    import jax
+
+    from .export.package import export_checkpoint
+    from .trainer.checkpoint import load_checkpoint
+    from .trainer.init import init_all_params
+    from .trainer.loop import Trainer
+    from .trainer.state import create_train_state
+
+    config, model_config = _load_configs(config_path, model_config_path)
+    trainer = Trainer(config, model_config, out_dir)
+    params = init_all_params(trainer.models, model_config, jax.random.PRNGKey(0))
+    abstract = create_train_state(params, model_config.text_encoder.tokens + 1)
+    state, manifest, norm = load_checkpoint(checkpoint, abstract)
+
+    # pitch stats over the cache (reference train/cli.py:358-364)
+    pitch_log2_mean, pitch_log2_std = 7.0, 1.0
+    pitch_path = trainer.data_path(config.dataset.pitch_path)
+    if osp.isfile(pitch_path):
+        from .data.caches import load_cache
+
+        vals = []
+        for arr in load_cache(pitch_path).values():
+            arr = np.asarray(arr)
+            vals.append(arr[arr > 10])
+        allp = np.concatenate(vals) if vals else np.array([128.0])
+        if allp.size:
+            pitch_log2_mean = float(np.log2(allp).mean())
+            pitch_log2_std = float(max(np.log2(allp).std(), 1e-6))
+
+    export_checkpoint(
+        state.params, model_config, norm, out_dir,
+        pitch_log2_mean=pitch_log2_mean, pitch_log2_std=pitch_log2_std,
+        emit_stablehlo=stablehlo,
+    )
+    click.echo(f"wrote inference package to {out_dir}")
+
+
+@train_cli.command("voicepack")
+@click.option("--config", "config_path", required=True, type=click.Path(exists=True))
+@click.option("--model-config", "model_config_path", type=click.Path(exists=True))
+@click.option("--checkpoint", required=True, type=click.Path(exists=True))
+@click.option("--out", "out_path", required=True, type=click.Path())
+def voicepack(config_path, model_config_path, checkpoint, out_path):
+    """Encode training-set styles into a static voicepack."""
+    import jax
+
+    from .trainer.checkpoint import load_checkpoint
+    from .trainer.init import init_all_params
+    from .trainer.loop import Trainer
+    from .trainer.state import create_train_state
+    from .tts.voicepack import (
+        build_static_pack,
+        encode_all_styles,
+        save_static_voicepack,
+    )
+
+    config, model_config = _load_configs(config_path, model_config_path)
+    trainer = Trainer(config, model_config, osp.dirname(out_path) or ".")
+    params0 = init_all_params(trainer.models, model_config, jax.random.PRNGKey(0))
+    abstract = create_train_state(params0, model_config.text_encoder.tokens + 1)
+    state, _, norm = load_checkpoint(checkpoint, abstract)
+    ds = trainer.build_dataset(config.dataset.train_data)
+    styles = encode_all_styles(
+        ds, trainer.models, state.params, norm, model_config
+    )
+    pack = build_static_pack(styles)
+    save_static_voicepack(out_path, pack)
+    click.echo(f"wrote voicepack ({styles['lengths'].shape[0]} segments)")
+
+
+@click.group()
+def tts_cli():
+    """stylish-tts: synthesis from an inference package."""
+
+
+@tts_cli.command("speak")
+@click.option("--model", "package_dir", required=True, type=click.Path(exists=True))
+@click.option("--voicepack", "voicepack_path", required=True,
+              type=click.Path(exists=True))
+@click.option("--text", "text_path", required=True, type=click.Path(exists=True),
+              help="file of `phonemes` lines")
+@click.option("--out", "out_path", required=True, type=click.Path())
+@click.option("--speed", default=1.0, type=float)
+def speak(package_dir, voicepack_path, text_path, out_path, speed):
+    """Synthesize a document: one line per utterance, concatenated with
+    -25 LUFS loudness normalization (reference tts/cli.py:32-96)."""
+    from .data.wav import write_wav
+    from .export.package import InferencePackage
+    from .tts.loudness import normalize_loudness
+    from .tts.voicepack import load_voicepack, lookup_static_style
+
+    pkg = InferencePackage(package_dir)
+    pack = load_voicepack(voicepack_path)
+    pieces = []
+    with open(text_path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            tokens = pkg.tokenize(line)
+            speech_s, pe_s, dur_s = lookup_static_style(
+                pack, tokens.shape[0]
+            )
+            audio = pkg.generate_speech(
+                tokens, speech_s, pe_s, dur_s, speed=speed
+            )
+            pieces.append(
+                normalize_loudness(audio, pkg.mc.sample_rate)
+            )
+    full = np.concatenate(pieces) if pieces else np.zeros(1, np.float32)
+    write_wav(out_path, full, pkg.mc.sample_rate)
+    click.echo(
+        f"wrote {out_path}: {full.shape[0] / pkg.mc.sample_rate:.2f}s "
+        f"({len(pieces)} utterances)"
+    )
+
+
+if __name__ == "__main__":
+    train_cli()

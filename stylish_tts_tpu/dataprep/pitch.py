@@ -1,0 +1,119 @@
+"""Pitch cache generation: batched YIN on the accelerator.
+
+Replaces the reference's pyworld harvest/dio + RMVPE pipeline
+(reference: train/dataprep/pitch_extractor.py:19-149) with a
+TPU-native batched YIN estimator: framing + difference function via
+one matmul-friendly autocorrelation, cumulative-mean normalization,
+thresholded lag pick with parabolic refinement.  One jit per bucket
+shape; a whole duration bin of segments is estimated in one device
+call (the reference fans out per-segment threads into C code).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+F0_MIN = 50.0
+F0_MAX = 600.0
+YIN_THRESHOLD = 0.15
+WINDOW = 1024  # analysis window per frame (samples)
+
+
+def _frame_signal(audio: jnp.ndarray, hop: int, frames: int) -> jnp.ndarray:
+    """(B, S) -> (B, frames, 2*WINDOW) centered windows."""
+    half = WINDOW
+    padded = jnp.pad(audio, ((0, 0), (half, half)))
+    idx = jnp.arange(frames)[:, None] * hop + jnp.arange(2 * WINDOW)[None, :]
+    return padded[:, idx]
+
+
+@functools.partial(jax.jit, static_argnames=("hop", "frames", "sample_rate"))
+def yin_pitch(
+    audio: jnp.ndarray, *, hop: int, frames: int, sample_rate: int
+) -> jnp.ndarray:
+    """(B, S) float32 -> (B, frames) F0 in Hz (0 where unvoiced)."""
+    audio = audio.astype(jnp.float32)
+    tau_min = max(int(sample_rate / F0_MAX), 2)
+    tau_max = min(int(sample_rate / F0_MIN), WINDOW - 1)
+
+    x = _frame_signal(audio, hop, frames)  # (B, F, 2W)
+    w = x[:, :, :WINDOW]
+    # difference function d(tau) = sum_t (x[t] - x[t+tau])^2 for tau < W
+    # expanded: r0 + r0_shift - 2*corr(tau); compute via direct lag products
+    taus = jnp.arange(tau_max + 1)
+
+    def diff_at(tau):
+        seg = jax.lax.dynamic_slice_in_dim(x, tau, WINDOW, axis=2)
+        return jnp.sum(jnp.square(w - seg), axis=-1)
+
+    d = jax.vmap(diff_at, out_axes=2)(taus)  # (B, F, tau_max+1)
+
+    # cumulative mean normalized difference
+    cumsum = jnp.cumsum(d[:, :, 1:], axis=-1)
+    denom = cumsum / jnp.arange(1, tau_max + 1)[None, None, :]
+    cmnd = d[:, :, 1:] / (denom + 1e-9)
+    cmnd = jnp.concatenate(
+        [jnp.ones_like(cmnd[:, :, :1]), cmnd], axis=-1
+    )  # tau=0 -> 1
+
+    # restrict to [tau_min, tau_max]
+    valid = (taus >= tau_min)[None, None, :]
+    cmnd_v = jnp.where(valid, cmnd, jnp.inf)
+
+    # first tau under threshold, else global min
+    under = cmnd_v < YIN_THRESHOLD
+    first_under = jnp.argmax(under, axis=-1)
+    any_under = jnp.any(under, axis=-1)
+    best_min = jnp.argmin(cmnd_v, axis=-1)
+    tau_star = jnp.where(any_under, first_under, best_min)
+
+    # parabolic refinement around tau_star
+    def gather(arr, idx):
+        return jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
+
+    t0 = jnp.clip(tau_star - 1, 0, tau_max)
+    t2 = jnp.clip(tau_star + 1, 0, tau_max)
+    y0, y1, y2 = gather(cmnd, t0), gather(cmnd, tau_star), gather(cmnd, t2)
+    denom_p = y0 - 2 * y1 + y2
+    shift = jnp.where(
+        jnp.abs(denom_p) > 1e-12, 0.5 * (y0 - y2) / (denom_p + 1e-12), 0.0
+    )
+    shift = jnp.clip(shift, -1.0, 1.0)
+    tau_ref = tau_star.astype(jnp.float32) + shift
+
+    f0 = sample_rate / jnp.maximum(tau_ref, 1.0)
+    # voicing: threshold crossing + minimum energy
+    energy = jnp.mean(jnp.square(w), axis=-1)
+    voiced = any_under & (energy > 1e-6)
+    f0 = jnp.where(voiced, f0, 0.0)
+    return jnp.where((f0 >= F0_MIN) & (f0 <= F0_MAX), f0, 0.0)
+
+
+def extract_pitch_for_dataset(
+    dataset, hop_length: int, sample_rate: int, batch_size: int = 8,
+    progress=None,
+) -> Dict[str, np.ndarray]:
+    """Whole-dataset pitch cache, batched per duration bin."""
+    bins, _ = dataset.time_bins()
+    cache: Dict[str, np.ndarray] = {}
+    for time_bin, idxs in sorted(bins.items()):
+        for i in range(0, len(idxs), batch_size):
+            chunk = idxs[i : i + batch_size]
+            items = [dataset.load_segment(j) for j in chunk]
+            audio = np.stack([it["audio"] for it in items])
+            frames = audio.shape[1] // hop_length
+            f0 = yin_pitch(
+                jnp.asarray(audio), hop=hop_length, frames=frames,
+                sample_rate=sample_rate,
+            )
+            f0 = np.asarray(f0)
+            for k, it in enumerate(items):
+                cache[it["path"]] = f0[k]
+            if progress is not None:
+                progress(len(chunk))
+    return cache

@@ -1,0 +1,234 @@
+"""Deployable inference package: the TPU-native `convert` target.
+
+The reference exports a single ONNX graph with a dynamic text dim and
+embeds normalization/pitch stats + model config as metadata
+(reference: train/convert_to_onnx.py:23-108).  The TPU-native
+equivalent is a **two-phase bucketed graph**:
+
+  phase 1 (text bucket L):    duration predictor -> durations
+  phase 2 (L x frame bucket F): alignment -> pitch/energy -> speech
+
+because the frame count is data-dependent (the ONNX graph hides a
+dynamic dim there; XLA wants static shapes).  The host rounds the
+predicted total duration up to a frame bucket and pads — identical
+audio up to trailing silence, one compiled program per bucket pair.
+
+A package directory contains:
+  params.safetensors      — all inference-path module params
+  model_config.json       — full ModelConfig (metadata parity)
+  metadata.json           — normalization + pitch log stats
+  stablehlo/ (optional)   — jax.export'ed phase graphs per bucket
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..models import build_model
+from ..ops.duration import DurationProcessor
+from ..text import TextCleaner
+from ..trainer.normalization import NormalizationStats
+from ..utils.params_io import load_params_safetensors, save_params_safetensors
+
+INFERENCE_MODULES = (
+    "speech_predictor",
+    "pitch_energy_predictor",
+    "duration_predictor",
+    "speech_style_encoder",
+    "pe_style_encoder",
+    "duration_style_encoder",
+)
+
+TEXT_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512)
+FRAME_BUCKET_STEP = 100
+
+
+def frame_bucket(total_frames: int) -> int:
+    return max(
+        ((total_frames + FRAME_BUCKET_STEP - 1) // FRAME_BUCKET_STEP)
+        * FRAME_BUCKET_STEP,
+        FRAME_BUCKET_STEP,
+    )
+
+
+def text_bucket(n: int) -> int:
+    for b in TEXT_BUCKETS:
+        if n <= b:
+            return b
+    raise ValueError(f"text too long for inference buckets: {n}")
+
+
+def export_checkpoint(
+    params: Dict, model_config: ModelConfig,
+    normalization: NormalizationStats, out_dir: str,
+    pitch_log2_mean: float = 0.0, pitch_log2_std: float = 1.0,
+    emit_stablehlo: bool = False,
+) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    infer_params = {k: params[k] for k in INFERENCE_MODULES}
+    save_params_safetensors(osp.join(out_dir, "params.safetensors"), infer_params)
+    with open(osp.join(out_dir, "model_config.json"), "w", encoding="utf-8") as f:
+        f.write(model_config.model_dump_json(indent=2))
+    meta = {
+        "normalization": normalization.state_dict(),
+        "pitch_log2_mean": pitch_log2_mean,
+        "pitch_log2_std": pitch_log2_std,
+        "framework": "stylish_tts_tpu",
+    }
+    with open(osp.join(out_dir, "metadata.json"), "w", encoding="utf-8") as f:
+        json.dump(meta, f, indent=2)
+    if emit_stablehlo:
+        _emit_stablehlo(infer_params, model_config, out_dir)
+    return out_dir
+
+
+def _emit_stablehlo(params, mc: ModelConfig, out_dir: str) -> None:
+    """jax.export the acoustic phase for the smallest bucket pair as a
+    deployment-graph artifact (matching the reference's single-graph
+    export intent; more buckets are compiled on demand at load)."""
+    from jax import export as jexport
+
+    pkg = InferencePackage.from_parts(params, mc, NormalizationStats())
+    L, F = TEXT_BUCKETS[0], FRAME_BUCKET_STEP
+    fn, args = pkg._acoustic_fn_and_args(L, F)
+    exported = jexport.export(jax.jit(fn))(*args)
+    os.makedirs(osp.join(out_dir, "stablehlo"), exist_ok=True)
+    with open(
+        osp.join(out_dir, "stablehlo", f"acoustic_L{L}_F{F}.mlir"), "w",
+        encoding="utf-8",
+    ) as f:
+        f.write(exported.mlir_module())
+
+
+class InferencePackage:
+    """Loads a package dir and synthesizes speech (the StylishModel
+    equivalent, reference: tts/stylish_model.py:8-50)."""
+
+    def __init__(self, package_dir: str):
+        params = load_params_safetensors(
+            osp.join(package_dir, "params.safetensors")
+        )
+        with open(osp.join(package_dir, "model_config.json"), encoding="utf-8") as f:
+            mc = ModelConfig.model_validate_json(f.read())
+        with open(osp.join(package_dir, "metadata.json"), encoding="utf-8") as f:
+            meta = json.load(f)
+        norm = NormalizationStats(**meta["normalization"])
+        self._init(params, mc, norm)
+
+    @classmethod
+    def from_parts(cls, params, model_config, normalization):
+        self = cls.__new__(cls)
+        self._init(params, model_config, normalization)
+        return self
+
+    def _init(self, params, mc, norm):
+        # safetensors round-trips params as plain nested dicts; flax apply
+        # accepts them directly
+        self.params = params
+        self.mc = mc
+        self.normalization = norm
+        self.models = build_model(mc)
+        self.text_cleaner = TextCleaner(mc.symbol)
+        self.duration_processor = DurationProcessor(
+            mc.duration_predictor.duration_classes,
+            mc.duration_predictor.max_duration,
+        )
+        self._duration_fns = {}
+        self._acoustic_fns = {}
+
+    # ---- phase 1: durations ---------------------------------------------
+
+    def _duration_fn(self, L: int):
+        if L not in self._duration_fns:
+            dp = self.models["duration_predictor"]
+
+            @jax.jit
+            def fn(params, texts, lengths, style):
+                raw = dp.apply(params, texts, lengths, style)
+                return self.duration_processor.prediction_to_duration(
+                    raw, lengths
+                )
+
+            self._duration_fns[L] = fn
+        return self._duration_fns[L]
+
+    # ---- phase 2: acoustic ----------------------------------------------
+
+    def _acoustic_fn_and_args(self, L: int, F: int):
+        sp = self.models["speech_predictor"]
+        pe = self.models["pitch_energy_predictor"]
+        dp = self.duration_processor
+        coarse = self.mc.coarse_multiplier
+
+        def fn(params, texts, lengths, durations, pe_style, speech_style):
+            alignment = dp.duration_to_alignment(durations, F)
+            alignment_fine = dp.duration_to_alignment(
+                durations, F * coarse, multiplier=coarse
+            )
+            pitch, energy = pe.apply(
+                params["pitch_energy_predictor"], texts, lengths, alignment,
+                pe_style,
+            )
+            voiced = (pitch > 20.0).astype(jnp.float32)
+            pred = sp.apply(
+                params["speech_predictor"], texts, lengths, alignment_fine,
+                pitch, energy, voiced, speech_style, pitch,
+                rng=jax.random.PRNGKey(0),
+            )
+            return pred.audio
+
+        args = (
+            self.params,
+            jnp.ones((1, L), jnp.int32),
+            jnp.ones((1,), jnp.int32),
+            jnp.ones((1, L), jnp.float32),
+            jnp.zeros((1, self.mc.style_dim)),
+            jnp.zeros((1, self.mc.style_dim)),
+        )
+        return fn, args
+
+    def _acoustic_fn(self, L: int, F: int):
+        key = (L, F)
+        if key not in self._acoustic_fns:
+            fn, _ = self._acoustic_fn_and_args(L, F)
+            self._acoustic_fns[key] = jax.jit(fn)
+        return self._acoustic_fns[key]
+
+    # ---- public API ------------------------------------------------------
+
+    def tokenize(self, text: str) -> np.ndarray:
+        return np.asarray(self.text_cleaner(text), np.int32)
+
+    def generate_speech(
+        self, tokens: np.ndarray, speech_style, pe_style, duration_style,
+        speed: float = 1.0,
+    ) -> np.ndarray:
+        """tokens (n,) -> waveform float32 (samples,)."""
+        n = tokens.shape[0]
+        L = text_bucket(n)
+        texts = np.zeros((1, L), np.int32)
+        texts[0, :n] = tokens
+        lengths = np.asarray([n], np.int32)
+
+        durations = self._duration_fn(L)(
+            self.params["duration_predictor"], jnp.asarray(texts),
+            jnp.asarray(lengths), jnp.asarray(duration_style)[None],
+        )
+        durations = np.asarray(durations) / speed
+        total = int(round(float(durations.sum())))
+        F = frame_bucket(total)
+        audio = self._acoustic_fn(L, F)(
+            self.params, jnp.asarray(texts), jnp.asarray(lengths),
+            jnp.asarray(durations),
+            jnp.asarray(pe_style)[None], jnp.asarray(speech_style)[None],
+        )
+        samples = total * self.mc.hop_length * self.mc.coarse_multiplier
+        return np.asarray(audio)[0, :samples]

@@ -1,0 +1,484 @@
+"""Training orchestration: the train_model / train_val_loop equivalent.
+
+Capability parity with the reference trainer spine
+(reference: train/train.py:76-470):
+  * out-dir setup with per-stage train.log and config copies
+  * deterministic validation-sample selection (blake2b hash sort,
+    train.py:150-165, force_samples override)
+  * normalization stats computed once and persisted
+  * static batch planning per duration bin (replaces OOM probing)
+  * stage loop with auto-advance (acoustic -> textual -> duration)
+  * periodic logging / validation / checkpointing
+  * alignment stage extras: trains on the val split at val ticks
+    (train.py:417-423), CTC prior update at epoch end (train.py:434),
+    aligner weights saved to alignment_model.safetensors at the end
+  * checkpoint resume with same-stage fast-forward
+
+TPU-native: one jit'd (state, batch) -> (state, metrics) program per
+(stage, time_bin, text_bucket); batches stream host->device with the
+data-parallel sharding; everything else is host-side bookkeeping.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import os.path as osp
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, ModelConfig
+from ..data.collate import collate_batch
+from ..data.dataset import FilePathDataset
+from ..data.sampler import BatchSizeTable, DynamicBatchSampler
+from ..models import build_model
+from ..ops import ctc as ctc_ops
+from ..parallel import batch_sharding, jit_data_parallel_step, make_mesh
+from ..text import TextCleaner
+from ..utils.params_io import save_params_safetensors
+from .checkpoint import (
+    Manifest,
+    find_latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from .init import count_parameters, init_all_params
+from .loss_log import MetricsWriter, broadcast, combine_metrics
+from .normalization import NormalizationStats, compute_stats_streaming
+from .state import TrainState, create_train_state
+from .steps import (
+    Batch,
+    StepContext,
+    finish_alignment_epoch,
+    make_acoustic_step,
+    make_alignment_step,
+    make_duration_step,
+    make_textual_step,
+)
+
+logger = logging.getLogger("stylish_tts_tpu")
+
+STAGE_ORDER = ["alignment", "acoustic", "textual", "duration"]
+NEXT_STAGE = {"acoustic": "textual", "textual": "duration"}
+
+
+def setup_stage_logging(out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    logger.setLevel(logging.DEBUG)
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
+    sh = logging.StreamHandler()
+    sh.setLevel(logging.INFO)
+    logger.addHandler(sh)
+    fh = logging.FileHandler(osp.join(out_dir, "train.log"), encoding="utf-8")
+    fh.setLevel(logging.DEBUG)
+    fh.setFormatter(
+        logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+    )
+    logger.addHandler(fh)
+
+
+def try_load_wavlm_loss(model_name: str):
+    """Load the frozen WavLM SLM loss if weights are locally available
+    (zero-egress environments simply train without the slm term)."""
+    try:
+        from transformers import WavLMModel
+
+        model = WavLMModel.from_pretrained(model_name, local_files_only=True)
+    except Exception as exc:
+        logger.warning(
+            "WavLM weights unavailable (%s); training without slm loss", exc
+        )
+        return None
+    from ..models.slm import convert_torch_wavlm, make_wavlm_loss
+
+    params = convert_torch_wavlm(model.state_dict())
+    logger.info("loaded WavLM slm loss (%s)", model_name)
+    return make_wavlm_loss(params)
+
+
+def select_validation_samples(
+    paths: List[str], count: int, force: List[str]
+) -> List[str]:
+    """Deterministic selection by blake2b digest (reference train.py:150-165)."""
+    chosen = [p for p in force if p in paths]
+    rest = sorted(
+        (p for p in paths if p not in chosen),
+        key=lambda p: hashlib.blake2b(p.encode()).hexdigest(),
+    )
+    return (chosen + rest)[:count]
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: Config,
+        model_config: ModelConfig,
+        out_dir: str,
+        *,
+        mesh=None,
+    ):
+        self.config = config
+        self.mc = model_config
+        self.base_out_dir = out_dir
+        self.text_cleaner = TextCleaner(model_config.symbol)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_devices = int(np.prod([d for d in self.mesh.devices.shape]))
+        self.models = build_model(model_config)
+        self.normalization = NormalizationStats()
+        self.manifest = Manifest()
+        self.writer: Optional[MetricsWriter] = None
+        from ..ops.duration import DurationProcessor
+
+        self.duration_processor = DurationProcessor(
+            model_config.duration_predictor.duration_classes,
+            model_config.duration_predictor.max_duration,
+        )
+
+    # ---- data ------------------------------------------------------------
+
+    def data_path(self, name: str) -> str:
+        return osp.join(self.config.dataset.path, name)
+
+    def build_dataset(self, list_name: str) -> FilePathDataset:
+        with open(self.data_path(list_name), encoding="utf-8") as f:
+            lines = f.readlines()
+        return FilePathDataset(
+            data_list=lines,
+            root_path=self.data_path(self.config.dataset.wav_path),
+            text_cleaner=self.text_cleaner,
+            sample_rate=self.mc.sample_rate,
+            coarse_hop_length=self.mc.hop_length * self.mc.coarse_multiplier,
+            pitch_path=self.data_path(self.config.dataset.pitch_path),
+            alignment_path=self.data_path(self.config.dataset.alignment_path),
+            dur_to_class=self.duration_processor.dur_to_class,
+        )
+
+    def init_normalization(self, dataset: FilePathDataset, out_dir: str):
+        """Compute or load dataset-wide stats (reference
+        train_context.py:190-354)."""
+        cache = osp.join(out_dir, "normalization.json")
+        if osp.isfile(cache):
+            self.normalization = NormalizationStats.load(cache)
+            return
+        from ..dsp.mel import MelSpectrogram
+
+        to_mel = MelSpectrogram(
+            n_mels=self.mc.n_mels, n_fft=self.mc.n_fft,
+            win_length=self.mc.win_length, hop_length=self.mc.hop_length,
+            sample_rate=self.mc.sample_rate,
+        )
+
+        def mel_iter():
+            for i in range(len(dataset)):
+                item = dataset.load_segment(i)
+                # raw (unnormalized) mel power
+                yield np.asarray(to_mel(jnp.asarray(item["audio"][None])))
+
+        def pitch_iter():
+            for i in range(len(dataset)):
+                p = dataset.load_segment(i)["pitch"]
+                if p is not None:
+                    yield p
+
+        self.normalization = compute_stats_streaming(mel_iter(), pitch_iter())
+        os.makedirs(out_dir, exist_ok=True)
+        self.normalization.save(cache)
+        logger.info(
+            "normalization: mel_log_mean=%.3f mel_log_std=%.3f",
+            self.normalization.mel_log_mean, self.normalization.mel_log_std,
+        )
+
+    # ---- training --------------------------------------------------------
+
+    def train(
+        self,
+        stage: str,
+        checkpoint: Optional[str] = None,
+        reset_stage: bool = False,
+    ) -> TrainState:
+        assert stage in STAGE_ORDER, stage
+        train_ds = self.build_dataset(self.config.dataset.train_data)
+        val_ds = self.build_dataset(self.config.dataset.val_data)
+        train_bins, _ = train_ds.time_bins()
+        val_bins, _ = val_ds.time_bins()
+
+        out_dir = osp.join(self.base_out_dir, stage)
+        setup_stage_logging(out_dir)
+        self.init_normalization(train_ds, self.base_out_dir)
+
+        params = init_all_params(self.models, self.mc, jax.random.PRNGKey(0))
+        state = create_train_state(params, self.mc.text_encoder.tokens + 1)
+        logger.info("total parameters: %s", f"{count_parameters(params):,}")
+
+        skip_batches = 0
+        if checkpoint:
+            state, manifest, norm = load_checkpoint(checkpoint, state)
+            self.normalization = norm
+            if manifest.stage == stage and not reset_stage:
+                self.manifest = manifest
+                skip_batches = manifest.current_step
+                logger.info(
+                    "resuming %s at epoch %d step %d", stage,
+                    manifest.current_epoch, manifest.current_total_step,
+                )
+            else:
+                self.manifest = Manifest(stage=stage)
+                state = state.replace(step=jnp.zeros((), jnp.int32))
+        else:
+            self.manifest = Manifest(stage=stage)
+
+        while stage is not None:
+            out_dir = osp.join(self.base_out_dir, stage)
+            setup_stage_logging(out_dir)
+            self.writer = MetricsWriter(out_dir)
+            state = self.run_stage(
+                stage, state, train_ds, val_ds, train_bins, val_bins,
+                out_dir, skip_batches,
+            )
+            skip_batches = 0
+            if stage == "alignment":
+                save_params_safetensors(
+                    self.data_path(self.config.dataset.alignment_model_path),
+                    state.params["text_aligner"],
+                )
+                logger.info("saved alignment model")
+                break
+            stage = NEXT_STAGE.get(stage)
+            if stage is not None:
+                self.manifest = Manifest(stage=stage)
+                state = state.replace(step=jnp.zeros((), jnp.int32))
+        return state
+
+    def _make_step(self, stage: str, ctx: StepContext, train_ds):
+        if stage == "alignment":
+            return make_alignment_step(ctx)
+        if stage == "acoustic":
+            return make_acoustic_step(ctx)
+        if stage == "textual":
+            return make_textual_step(ctx)
+        if stage == "duration":
+            weights = jnp.sqrt(
+                jnp.asarray(np.nan_to_num(train_ds.duration_weights))
+            )
+            return make_duration_step(ctx, weights)
+        raise ValueError(stage)
+
+    def run_stage(
+        self, stage, state, train_ds, val_ds, train_bins, val_bins,
+        out_dir, skip_batches=0,
+    ):
+        cfg = self.config
+        plan = cfg.training_plan.get_stage(stage)
+        table = BatchSizeTable(
+            path=osp.join(out_dir, f"{stage}_batch_sizes.json"),
+            probe_batch_max=plan.probe_batch_max,
+        )
+        table.plan(list(train_bins.keys()))
+        # batch sizes must divide by the data-parallel width and must not
+        # exceed the bin's population (tiny datasets would otherwise yield
+        # zero full batches under drop_last)
+        for b in list(table.sizes.keys()):
+            size = min(table.sizes[b], len(train_bins.get(b, [])) or 1)
+            size = max(
+                (size // self.n_devices) * self.n_devices, self.n_devices
+            )
+            table.sizes[b] = size
+        table.save()
+
+        sampler = DynamicBatchSampler(train_bins, table, seed=17)
+        steps_per_epoch = len(sampler)
+        self.manifest.steps_per_epoch = steps_per_epoch
+        stage_steps = max(plan.epochs * steps_per_epoch, 1)
+
+        slm_loss_fn = None
+        if stage == "acoustic" and cfg.loss_weight.slm > 0:
+            slm_loss_fn = try_load_wavlm_loss(self.mc.slm.model)
+
+        ctx = StepContext(
+            self.models, self.mc, cfg.loss_weight.model_dump(),
+            self.normalization, stage_steps=stage_steps, base_lr=plan.lr,
+            slm_loss_fn=slm_loss_fn,
+        )
+        step_fn = jit_data_parallel_step(
+            self._make_step(stage, ctx, train_ds), self.mesh,
+            donate_state=False,
+        )
+        sharding = batch_sharding(self.mesh)
+
+        window: List[Dict[str, float]] = []
+        t_start = time.time()
+        audio_seconds_trained = 0.0
+        start_epoch = self.manifest.current_epoch
+
+        from ..data.loader import PrefetchLoader
+
+        for epoch in range(start_epoch, plan.epochs + 1):
+            self.manifest.current_epoch = epoch
+            sampler.set_epoch(epoch)
+            loader = PrefetchLoader(
+                train_ds, sampler, self.mc.hop_length,
+                require_pitch=(stage != "alignment"),
+                device_put=lambda b: jax.device_put(b, sharding),
+                depth=max(self.config.training.data_workers // 2, 2),
+            )
+            for i, (time_bin, batch, _paths) in enumerate(loader):
+                if skip_batches > 0:
+                    skip_batches -= 1
+                    continue
+                state, metrics = step_fn(state, batch)
+                self.manifest.current_step = i + 1
+                self.manifest.current_total_step += 1
+                window.append({k: float(v) for k, v in metrics.items()})
+                audio_seconds_trained += (
+                    batch.audio_gt.shape[0] * batch.audio_gt.shape[1]
+                    / self.mc.sample_rate
+                )
+
+                total_step = self.manifest.current_total_step
+                if total_step % cfg.training.log_interval == 0:
+                    avg = combine_metrics(window)
+                    window.clear()
+                    lr = avg.pop("lr", 0.0)
+                    broadcast(
+                        avg, ctx.weights, self.writer, total_step,
+                        header=(
+                            f"Epoch [{epoch}/{plan.epochs}], "
+                            f"Step [{i + 1}/{steps_per_epoch}] "
+                        ),
+                    )
+                    self.writer.add_scalar("train/lr", lr, total_step)
+                if total_step % cfg.training.val_interval == 0:
+                    self.validate(stage, state, ctx, val_ds, val_bins, out_dir)
+                if total_step % cfg.training.save_interval == 0:
+                    save_checkpoint(
+                        out_dir, state, self.manifest, cfg, self.mc,
+                        self.normalization,
+                    )
+            if stage == "alignment":
+                # also train on the val split (reference train.py:417-423)
+                val_sampler = DynamicBatchSampler(
+                    val_bins, table, seed=29, drop_last=False,
+                )
+                for time_bin, idxs in val_sampler:
+                    idxs = idxs[: max(len(idxs) // self.n_devices, 0)
+                                * self.n_devices] or idxs
+                    if len(idxs) % self.n_devices:
+                        continue
+                    items = [val_ds.load_segment(j) for j in idxs]
+                    batch, _ = collate_batch(
+                        items, hop_length=self.mc.hop_length,
+                        require_pitch=False,
+                    )
+                    batch = jax.device_put(batch, sharding)
+                    state, _ = step_fn(state, batch)
+                state = finish_alignment_epoch(ctx, state)
+            self.manifest.current_step = 1
+
+        elapsed = time.time() - t_start
+        logger.info(
+            "stage %s done: %d steps, %.1f s, %.1f audio-hours trained",
+            stage, self.manifest.current_total_step, elapsed,
+            audio_seconds_trained / 3600.0,
+        )
+        save_checkpoint(
+            out_dir, state, self.manifest, cfg, self.mc, self.normalization
+        )
+        return state
+
+    # ---- validation ------------------------------------------------------
+
+    def validate(self, stage, state, ctx, val_ds, val_bins, out_dir):
+        """Eval losses on the val split; emit audio for acoustic-path
+        stages (reference stage.py:149-422)."""
+        metrics_acc: List[Dict[str, float]] = []
+        sample_paths = select_validation_samples(
+            [s.wav_path for s in val_ds.segments],
+            self.config.validation.sample_count,
+            self.config.validation.force_samples,
+        )
+        emitted = 0
+        for time_bin, idxs in DynamicBatchSampler(
+            val_bins, BatchSizeTable(probe_batch_max=self.n_devices),
+            shuffle=False, drop_last=False, force_batch_size=self.n_devices,
+        ):
+            if len(idxs) % self.n_devices:
+                continue
+            items = [val_ds.load_segment(j) for j in idxs]
+            batch, paths = collate_batch(
+                items, hop_length=self.mc.hop_length,
+                require_pitch=(stage != "alignment"),
+            )
+            try:
+                m, audio = self._validate_batch(stage, state, ctx, batch)
+            except Exception as exc:  # parity: swallow per-batch errors
+                logger.warning("validation batch failed: %s", exc)
+                continue
+            metrics_acc.append({k: float(v) for k, v in m.items()})
+            if audio is not None and emitted < len(sample_paths):
+                for bi, p in enumerate(paths):
+                    if p in sample_paths:
+                        step_no = self.manifest.current_total_step
+                        self.writer.add_audio(
+                            f"eval/{p}", np.asarray(audio[bi]), step_no,
+                            self.mc.sample_rate,
+                        )
+                        self._emit_mel_figures(p, batch, audio, bi, step_no)
+                        emitted += 1
+        if metrics_acc:
+            avg = combine_metrics(metrics_acc)
+            total = broadcast(
+                avg, ctx.weights, self.writer,
+                self.manifest.current_total_step, prefix="eval",
+                header=f"Validation step {self.manifest.current_total_step}: ",
+            )
+            if total < self.manifest.best_loss:
+                self.manifest.best_loss = total
+
+    def _validate_batch(self, stage, state, ctx, batch):
+        from .validate import VALIDATORS
+
+        return VALIDATORS[stage](state, ctx, batch)
+
+    def _emit_mel_figures(self, path, batch, audio, bi, step_no):
+        """GT/pred spectrograms + signed-difference heatmap
+        (reference stage.py:250-401)."""
+        try:
+            from ..dsp.mel import MelSpectrogram
+            from ..utils.plotting import (
+                plot_signed_difference_figure,
+                plot_spectrogram_figure,
+            )
+            import jax.numpy as jnp
+
+            to_mel = MelSpectrogram(
+                n_mels=self.mc.n_mels, n_fft=self.mc.n_fft,
+                win_length=self.mc.win_length, hop_length=self.mc.hop_length,
+                sample_rate=self.mc.sample_rate,
+            )
+            gt = np.log(
+                1e-5 + np.asarray(to_mel(jnp.asarray(batch.audio_gt[bi : bi + 1])))
+            )[0]
+            pr = np.log(
+                1e-5 + np.asarray(to_mel(jnp.asarray(audio[bi : bi + 1])))
+            )[0]
+            self.writer.add_figure(
+                f"eval/{path}/mel_gt", plot_spectrogram_figure(gt, "GT"),
+                step_no,
+            )
+            self.writer.add_figure(
+                f"eval/{path}/mel_pred", plot_spectrogram_figure(pr, "pred"),
+                step_no,
+            )
+            self.writer.add_figure(
+                f"eval/{path}/mel_diff",
+                plot_signed_difference_figure(gt, pr, "pred-GT"),
+                step_no,
+            )
+        except Exception as exc:
+            logger.debug("figure emission failed: %s", exc)

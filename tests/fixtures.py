@@ -1,0 +1,76 @@
+"""Runnable micro-dataset fixture (the reference's sample_dataset is
+documentation-only with an empty wav dir — SURVEY.md §4; ours runs)."""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import numpy as np
+
+from stylish_tts_tpu.data.caches import save_cache
+from stylish_tts_tpu.data.dataset import get_frame_count, get_time_bin
+from stylish_tts_tpu.data.wav import write_wav
+
+PHONEME_SETS = [
+    "ɔnðə kˈɑːntɹɛɹi",
+    "fɚðə fˈɜːst tˈaɪm",
+    "æz tˈaɪm pˈæst",
+    "ðɪ ˈɜːli jˈɪɹz",
+    "hˈɑːɹdli ˈɛnɪwˌʌn",
+    "wˈʌn dˈeɪ",
+]
+
+
+def make_micro_dataset(
+    root: str, n_train: int = 6, n_val: int = 2, sample_rate: int = 24000,
+    hop: int = 300, with_caches: bool = True, seed: int = 0,
+):
+    """Create wav-dir + train/val lists (+ pitch & alignment caches)."""
+    rng = np.random.default_rng(seed)
+    wav_dir = osp.join(root, "wav-dir")
+    os.makedirs(wav_dir, exist_ok=True)
+
+    def make_split(n, prefix, offset):
+        lines = []
+        pitch_cache = {}
+        align_cache = {}
+        for i in range(n):
+            phonemes = PHONEME_SETS[(i + offset) % len(PHONEME_SETS)]
+            # audio duration: 0.9-1.6 s (bins 2..4)
+            dur_s = 0.9 + 0.15 * ((i + offset) % 5)
+            samples = int(dur_s * sample_rate)
+            t = np.arange(samples) / sample_rate
+            f0 = 120.0 + 30.0 * np.sin(2 * np.pi * 1.3 * t)
+            audio = 0.4 * np.sin(2 * np.pi * np.cumsum(f0) / sample_rate)
+            audio += 0.05 * rng.standard_normal(samples)
+            name = f"{prefix}{i}.wav"
+            write_wav(osp.join(wav_dir, name), audio, sample_rate)
+            lines.append(f"{name}|{phonemes}|0|sample text {i}")
+            if with_caches:
+                time_bin = get_time_bin(samples, hop)
+                frames = get_frame_count(time_bin)
+                pf = 120.0 + 30.0 * np.sin(
+                    2 * np.pi * 1.3 * np.arange(frames) * hop / sample_rate
+                )
+                pitch_cache[name] = pf.astype(np.float32)
+                n_tok = len(phonemes) + 2  # tokenizer adds 2 pads
+                base = frames // n_tok
+                durs = np.full(n_tok, base, np.float32)
+                durs[-1] += frames - base * n_tok
+                align_cache[name] = durs[None, :]
+        return lines, pitch_cache, align_cache
+
+    train_lines, train_pitch, train_align = make_split(n_train, "tr", 0)
+    val_lines, val_pitch, val_align = make_split(n_val, "va", 3)
+
+    with open(osp.join(root, "train-list.txt"), "w", encoding="utf-8") as f:
+        f.write("\n".join(train_lines) + "\n")
+    with open(osp.join(root, "val-list.txt"), "w", encoding="utf-8") as f:
+        f.write("\n".join(val_lines) + "\n")
+    if with_caches:
+        save_cache(osp.join(root, "pitch.safetensors"),
+                   {**train_pitch, **val_pitch})
+        save_cache(osp.join(root, "alignment.safetensors"),
+                   {**train_align, **val_align})
+    return root
