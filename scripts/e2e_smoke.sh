@@ -14,7 +14,8 @@ import sys, os
 sys.path.insert(0, "tests")
 from fixtures import make_micro_dataset
 work = sys.argv[1]
-make_micro_dataset(os.path.join(work, "data"), with_caches=False)
+make_micro_dataset(os.path.join(work, "data"), with_caches=False,
+                   uniform_duration=True)
 # write run config pointing at the dataset
 import yaml
 cfg = {
@@ -37,7 +38,7 @@ open(os.path.join(work, "config.yml"), "w").write(yaml.dump(cfg))
 print("fixture ready")
 EOF
 
-RUN="env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m stylish_tts_tpu.cli"
+RUN="env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu JAX_DISABLE_MOST_OPTIMIZATIONS=1 python -m stylish_tts_tpu.cli"
 CFG="--config $WORK/config.yml --model-config configs/model-small.yml"
 
 $RUN pitch $CFG --out "$WORK/out"
@@ -48,7 +49,7 @@ CKPT=$(ls -d "$WORK"/out/duration/checkpoint_* | tail -1)
 $RUN convert $CFG --checkpoint "$CKPT" --out "$WORK/package"
 $RUN voicepack $CFG --checkpoint "$CKPT" --out "$WORK/voicepack.safetensors"
 printf 'ɔnðə kˈɑːntɹɛɹi\nfɚðə fˈɜːst tˈaɪm\n' > "$WORK/doc.txt"
-env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m stylish_tts_tpu.cli_tts \
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu JAX_DISABLE_MOST_OPTIMIZATIONS=1 python -m stylish_tts_tpu.cli_tts \
   speak --model "$WORK/package" --voicepack "$WORK/voicepack.safetensors" \
   --text "$WORK/doc.txt" --out "$WORK/speech.wav"
 ls -la "$WORK/speech.wav"

@@ -188,14 +188,22 @@ def pitch(config_path, model_config_path, out_dir):
               type=click.Choice(["acoustic", "textual", "duration"]))
 @click.option("--checkpoint", default=None, type=click.Path(exists=True))
 @click.option("--reset-stage", is_flag=True, default=False)
+@click.option("--profile", "profile_dir", default=None, type=click.Path(),
+              help="capture a jax.profiler trace into this directory")
 def train(config_path, model_config_path, out_dir, stage, checkpoint,
-          reset_stage):
+          reset_stage, profile_dir):
     """Main multi-stage training (acoustic -> textual -> duration)."""
     from .trainer.loop import Trainer
 
     config, model_config = _load_configs(config_path, model_config_path)
     trainer = Trainer(config, model_config, out_dir)
-    trainer.train(stage, checkpoint=checkpoint, reset_stage=reset_stage)
+    if profile_dir:
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            trainer.train(stage, checkpoint=checkpoint, reset_stage=reset_stage)
+    else:
+        trainer.train(stage, checkpoint=checkpoint, reset_stage=reset_stage)
 
 
 @train_cli.command("convert")

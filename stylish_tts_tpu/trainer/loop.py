@@ -252,7 +252,15 @@ class Trainer:
             stage = NEXT_STAGE.get(stage)
             if stage is not None:
                 self.manifest = Manifest(stage=stage)
-                state = state.replace(step=jnp.zeros((), jnp.int32))
+                # fresh optimizer moments + step counter per stage
+                # (reference rebuilds the MultiOptimizer on stage advance,
+                # train.py:329-335 / stage.py:26)
+                from .optim import init_opt_states
+
+                state = state.replace(
+                    step=jnp.zeros((), jnp.int32),
+                    opt_state=init_opt_states(state.params),
+                )
         return state
 
     def _make_step(self, stage: str, ctx: StepContext, train_ds):
@@ -304,6 +312,7 @@ class Trainer:
             self.models, self.mc, cfg.loss_weight.model_dump(),
             self.normalization, stage_steps=stage_steps, base_lr=plan.lr,
             slm_loss_fn=slm_loss_fn,
+            mixed_precision=(cfg.training.mixed_precision == "bf16"),
         )
         step_fn = jit_data_parallel_step(
             self._make_step(stage, ctx, train_ds), self.mesh,
@@ -331,7 +340,20 @@ class Trainer:
                 if skip_batches > 0:
                     skip_batches -= 1
                     continue
-                state, metrics = step_fn(state, batch)
+                try:
+                    state, metrics = step_fn(state, batch)
+                except Exception as exc:
+                    # HBM exhaustion surfaces at compile of a new bucket
+                    # shape; durably shrink the bin and skip this batch
+                    # (reference batch_manager.py:187-241 OOM retry).
+                    if "RESOURCE_EXHAUSTED" in str(exc) or "OOM" in str(exc):
+                        new_size = table.shrink(time_bin)
+                        logger.warning(
+                            "OOM on bin %d; batch size lowered to %d",
+                            time_bin, new_size,
+                        )
+                        continue
+                    raise
                 self.manifest.current_step = i + 1
                 self.manifest.current_total_step += 1
                 window.append({k: float(v) for k, v in metrics.items()})

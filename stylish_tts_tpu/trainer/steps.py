@@ -56,7 +56,9 @@ class StepContext:
 
     def __init__(self, models, model_config, loss_weights, normalization,
                  stage_steps: int = 10_000, base_lr: float = 1e-4,
-                 slm_loss_fn=None, axis_name: Optional[str] = None):
+                 slm_loss_fn=None, axis_name: Optional[str] = None,
+                 mixed_precision: bool = False):
+        self.compute_dtype = jnp.bfloat16 if mixed_precision else jnp.float32
         mc = model_config
         self.models = models
         self.mc = mc
@@ -106,6 +108,19 @@ class StepContext:
         if self.axis_name is None:
             return tree
         return jax.lax.pmean(tree, self.axis_name)
+
+
+def _cast_f32(tree, dtype):
+    """Cast float32 leaves to the compute dtype (master params stay fp32;
+    gradients flow back through the cast in fp32)."""
+    if dtype == jnp.float32:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        tree,
+    )
 
 
 def _split_params(params: Dict[str, Any], train_names):
@@ -315,15 +330,20 @@ def make_acoustic_step(ctx: StepContext):
             jax.lax.stop_gradient, ctx.multi_spec(audio_t)
         )
 
+        dt = ctx.compute_dtype
+
         def gen_loss_fn(train_params):
+            cast_params = _cast_f32(train_params, dt)
             style = ctx.models["speech_style_encoder"].apply(
-                train_params["speech_style_encoder"], style_mel,
+                cast_params["speech_style_encoder"],
+                style_mel.astype(dt),
             )
-            voiced = (pitch > 20.0).astype(jnp.float32)
+            voiced = (pitch > 20.0).astype(dt)
             pred = ctx.models["speech_predictor"].apply(
-                train_params["speech_predictor"],
-                batch.text, batch.text_lengths, alignment,
-                pitch, energy, voiced, style, pitch,
+                cast_params["speech_predictor"],
+                batch.text, batch.text_lengths, alignment.astype(dt),
+                pitch.astype(dt), energy.astype(dt), voiced, style,
+                pitch.astype(dt),
                 rng=r_model, training=True,
                 rngs={"dropout": r_drop},
             )

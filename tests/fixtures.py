@@ -25,6 +25,7 @@ PHONEME_SETS = [
 def make_micro_dataset(
     root: str, n_train: int = 6, n_val: int = 2, sample_rate: int = 24000,
     hop: int = 300, with_caches: bool = True, seed: int = 0,
+    uniform_duration: bool = False,
 ):
     """Create wav-dir + train/val lists (+ pitch & alignment caches)."""
     rng = np.random.default_rng(seed)
@@ -37,8 +38,12 @@ def make_micro_dataset(
         align_cache = {}
         for i in range(n):
             phonemes = PHONEME_SETS[(i + offset) % len(PHONEME_SETS)]
-            # audio duration: 0.9-1.6 s (bins 2..4)
-            dur_s = 0.9 + 0.15 * ((i + offset) % 5)
+            # audio duration: 0.9-1.6 s (bins 2..4); uniform -> one bin
+            # (one compiled program per stage, fast CPU smoke)
+            if uniform_duration:
+                dur_s = 0.9
+            else:
+                dur_s = 0.9 + 0.15 * ((i + offset) % 5)
             samples = int(dur_s * sample_rate)
             t = np.arange(samples) / sample_rate
             f0 = 120.0 + 30.0 * np.sin(2 * np.pi * 1.3 * t)

@@ -1,0 +1,72 @@
+"""Inference package export + synthesis round trip (tiny config)."""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+
+import jax
+
+from stylish_tts_tpu.config import ModelConfig
+from stylish_tts_tpu.export.package import (
+    InferencePackage,
+    export_checkpoint,
+    frame_bucket,
+    text_bucket,
+)
+from stylish_tts_tpu.models import build_model
+from stylish_tts_tpu.trainer.init import init_all_params
+from stylish_tts_tpu.trainer.normalization import NormalizationStats
+
+
+def tiny_mc():
+    mc = ModelConfig()
+    mc.inter_dim = 32
+    mc.style_dim = 16
+    mc.text_encoder.hidden_dim = 32
+    mc.text_encoder.filter_channels = 64
+    mc.text_encoder.heads = 2
+    mc.text_encoder.layers = 1
+    mc.decoder.hidden_dim = 32
+    mc.decoder.residual_dim = 16
+    mc.generator.input_dim = 32
+    mc.generator.conformer_layers = 1
+    mc.generator.conv_layers = 4
+    mc.generator.io_conv_kernel_size = 7
+    mc.pitch_energy_predictor.inter_dim = 32
+    mc.duration_predictor.n_layer = 1
+    mc.style_encoder.max_channels = 64
+    return mc
+
+
+def test_bucket_helpers():
+    assert text_bucket(5) == 32
+    assert text_bucket(33) == 64
+    assert frame_bucket(1) == 100
+    assert frame_bucket(101) == 200
+    with pytest.raises(ValueError):
+        text_bucket(1000)
+
+
+def test_export_and_generate(tmp_path):
+    mc = tiny_mc()
+    models = build_model(mc)
+    params = init_all_params(models, mc, jax.random.PRNGKey(0))
+    norm = NormalizationStats()
+    out = export_checkpoint(params, mc, norm, str(tmp_path / "pkg"))
+    assert osp.isfile(osp.join(out, "params.safetensors"))
+    assert osp.isfile(osp.join(out, "model_config.json"))
+
+    pkg = InferencePackage(out)
+    tokens = pkg.tokenize("ɔnðə kˈɑːntɹɛɹi")
+    style = np.zeros(mc.style_dim, np.float32)
+    audio = pkg.generate_speech(tokens, style, style, style)
+    assert audio.ndim == 1
+    assert audio.shape[0] % mc.hop_length == 0
+    assert audio.shape[0] > 0
+    assert np.isfinite(audio).all()
+    assert np.abs(audio).max() <= 1.0
+
+    # speed control changes the length
+    slow = pkg.generate_speech(tokens, style, style, style, speed=0.5)
+    assert slow.shape[0] > audio.shape[0]
