@@ -162,8 +162,14 @@ def _masked_update(ctx, state, params, opt_state, grads, name, lr, apply_mask):
 # ==========================================================================
 
 
-def make_alignment_step(ctx: StepContext):
+def make_alignment_step(ctx: StepContext, use_pallas: Optional[bool] = None):
     aligner = ctx.models["text_aligner"]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from ..ops.ctc_pallas import ctc_loss_with_priors_pallas as ctc_loss
+    else:
+        ctc_loss = ctc_ops.ctc_loss_with_priors
 
     def step(state: TrainState, batch: Batch):
         rng, dropout_rng = jax.random.split(state.rng)
@@ -177,7 +183,7 @@ def make_alignment_step(ctx: StepContext):
                 params, mel, mel_lengths, training=True,
                 rngs={"dropout": dropout_rng},
             )
-            loss = ctc_ops.ctc_loss_with_priors(
+            loss = ctc_loss(
                 log_probs, mel_lengths, batch.text, batch.text_lengths,
                 blank_id=ctx.blank_id,
                 log_priors=state.log_priors, prior_scale=0.3,
