@@ -131,13 +131,15 @@ def _beta_kernel(emit_ref, skip_next_ref, valid_ref, active_ref,
     beta_out_ref[0] = beta_scratch[:]
 
 
-@functools.partial(jax.jit, static_argnames=("blank_id",))
+def _pad_sizes(b: int, u_max: int):
+    s = 2 * u_max + 1
+    return s, _round_up(s, 128), _round_up(b, 8)
+
+
 def _prepare(log_probs, input_lengths, labels, label_lengths, blank_id):
     b, t_max, _ = log_probs.shape
     u_max = labels.shape[1]
-    s = 2 * u_max + 1
-    s_pad = _round_up(s, 128)
-    b_pad = _round_up(b, 8)
+    s, s_pad, b_pad = _pad_sizes(b, u_max)
 
     ext = _extended_labels(labels, blank_id)  # (B, S)
     skip_ok = _transition_masks(ext, blank_id)
@@ -188,8 +190,7 @@ def _prepare(log_probs, input_lengths, labels, label_lengths, blank_id):
     active_p = expand(active)
     active_beta_p = expand(active_beta)
     final_p = pad(final_mask.astype(jnp.float32), NEG, 0, 1)
-    return (emits_p, skip_p, valid_p, active_p, active_beta_p, final_p,
-            ext, s, s_pad, b_pad)
+    return (emits_p, skip_p, valid_p, active_p, active_beta_p, final_p, ext)
 
 
 def ctc_alphas_betas_pallas(
@@ -197,8 +198,8 @@ def ctc_alphas_betas_pallas(
 ):
     """Returns (alphas (T,B,S), betas (T,B,S), ll (B,)) via Pallas kernels."""
     b, t_max, _ = log_probs.shape
-    (emits, skip_ok, valid, active, active_beta, final_mask, ext, s, s_pad,
-     b_pad) = _prepare(
+    s, s_pad, b_pad = _pad_sizes(b, labels.shape[1])
+    (emits, skip_ok, valid, active, active_beta, final_mask, ext) = _prepare(
         log_probs, input_lengths, labels, label_lengths, blank_id
     )
 
