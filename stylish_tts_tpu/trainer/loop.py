@@ -9,9 +9,11 @@ Capability parity with the reference trainer spine
   * static batch planning per duration bin (replaces OOM probing)
   * stage loop with auto-advance (acoustic -> textual -> duration)
   * periodic logging / validation / checkpointing
-  * alignment stage extras: trains on the val split at val ticks
-    (train.py:417-423), CTC prior update at epoch end (train.py:434),
-    aligner weights saved to alignment_model.safetensors at the end
+  * alignment stage extras: also trains on the val split (reference
+    does it at val ticks, train.py:417-423; here at epoch end — same
+    data exposure, fewer loader swaps), CTC prior update at epoch end
+    (train.py:434), aligner weights saved to
+    alignment_model.safetensors at the end
   * checkpoint resume with same-stage fast-forward
 
 TPU-native: one jit'd (state, batch) -> (state, metrics) program per
@@ -37,7 +39,6 @@ from ..data.collate import collate_batch
 from ..data.dataset import FilePathDataset
 from ..data.sampler import BatchSizeTable, DynamicBatchSampler
 from ..models import build_model
-from ..ops import ctc as ctc_ops
 from ..parallel import batch_sharding, jit_data_parallel_step, make_mesh
 from ..text import TextCleaner
 from ..utils.params_io import save_params_safetensors
@@ -465,7 +466,14 @@ class Trainer:
     def _validate_batch(self, stage, state, ctx, batch):
         from .validate import VALIDATORS
 
-        return VALIDATORS[stage](state, ctx, batch)
+        if not hasattr(self, "_val_jit"):
+            self._val_jit = {}
+        if stage not in self._val_jit:
+            fn = VALIDATORS[stage]
+            self._val_jit[stage] = jax.jit(
+                lambda state, batch: fn(state, ctx, batch)
+            )
+        return self._val_jit[stage](state, batch)
 
     def _emit_mel_figures(self, path, batch, audio, bi, step_no):
         """GT/pred spectrograms + signed-difference heatmap

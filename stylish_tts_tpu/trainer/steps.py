@@ -410,29 +410,39 @@ def make_textual_step(ctx: StepContext):
         voiced = (pitch > 10.0).astype(jnp.float32)
         sqrt_b = math.sqrt(batch.text.shape[0])
         feats_t = jax.tree.map(jax.lax.stop_gradient, ctx.multi_spec(audio_t))
-        frozen = {
-            k: jax.lax.stop_gradient(state.params[k])
-            for k in ("speech_predictor", "speech_style_encoder", "pitch_disc")
-        }
+        dt = ctx.compute_dtype
+        frozen = _cast_f32(
+            {
+                k: jax.lax.stop_gradient(state.params[k])
+                for k in ("speech_predictor", "speech_style_encoder",
+                          "pitch_disc")
+            },
+            dt,
+        )
 
         def gen_loss_fn(train_params):
+            cast_params = _cast_f32(train_params, dt)
             pe_style = ctx.models["pe_style_encoder"].apply(
-                train_params["pe_style_encoder"], style_mel, pitch, energy,
+                cast_params["pe_style_encoder"],
+                style_mel.astype(dt), pitch.astype(dt), energy.astype(dt),
             )
             pred_pitch, pred_energy = ctx.models["pitch_energy_predictor"].apply(
-                train_params["pitch_energy_predictor"],
-                batch.text, batch.text_lengths, alignment, pe_style,
+                cast_params["pitch_energy_predictor"],
+                batch.text, batch.text_lengths, alignment.astype(dt), pe_style,
                 training=True, rngs={"dropout": r_drop},
             )
+            pred_pitch = pred_pitch.astype(jnp.float32)
+            pred_energy = pred_energy.astype(jnp.float32)
             # run the frozen acoustic path on predicted prosody
             speech_style = ctx.models["speech_style_encoder"].apply(
-                frozen["speech_style_encoder"], style_mel,
+                frozen["speech_style_encoder"], style_mel.astype(dt),
             )
-            pred_voiced = (pred_pitch > 20.0).astype(jnp.float32)
+            pred_voiced = (pred_pitch > 20.0).astype(dt)
             pred = ctx.models["speech_predictor"].apply(
                 frozen["speech_predictor"],
-                batch.text, batch.text_lengths, alignment,
-                pred_pitch, pred_energy, pred_voiced, speech_style, pred_pitch,
+                batch.text, batch.text_lengths, alignment.astype(dt),
+                pred_pitch.astype(dt), pred_energy.astype(dt), pred_voiced,
+                speech_style, pred_pitch.astype(dt),
                 rng=r_model, training=False,
             )
             feats_p = ctx.multi_spec(pred.audio)
