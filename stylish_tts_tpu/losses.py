@@ -131,8 +131,12 @@ def _tprls_gen(real: jnp.ndarray, fake: jnp.ndarray, tau: float = 0.04) -> jnp.n
 
 def discriminator_pair_loss(
     real_scores: List[jnp.ndarray], fake_scores: List[jnp.ndarray]
-) -> jnp.ndarray:
-    """LSGAN (1-real)^2 + fake^2 summed over score heads + TPRLS."""
+) -> tuple:
+    """LSGAN (1-real)^2 + fake^2 summed over score heads + TPRLS.
+
+    Returns (loss_with_tprls, raw_lsgan_loss) — the raw term feeds the
+    gap-aware LR EMA (reference losses.py:287 uses the pre-TPRLS value).
+    """
     loss = 0.0
     for dr, dg in zip(real_scores, fake_scores):
         loss = loss + jnp.mean(jnp.square(1.0 - dr)) + jnp.mean(jnp.square(dg))

@@ -1,0 +1,75 @@
+"""Trainer orchestration: alignment stage end-to-end + checkpoint resume."""
+
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+import yaml
+
+from fixtures import make_micro_dataset
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("trainer_e2e")
+    make_micro_dataset(
+        str(root / "data"), n_train=6, n_val=2, with_caches=True,
+        uniform_duration=True,
+    )
+    return root
+
+
+def _configs(root):
+    from stylish_tts_tpu.config import Config, ModelConfig
+
+    cfg = Config.model_validate({
+        "training": {"log_interval": 2, "save_interval": 1000,
+                     "val_interval": 1000, "device": "cpu",
+                     "mixed_precision": "no", "data_workers": 0},
+        "training_plan": {
+            "alignment": {"epochs": 1, "probe_batch_max": 4, "lr": 1e-4},
+        },
+        "dataset": {"path": str(root / "data")},
+        "validation": {"sample_count": 1},
+    })
+    mc = ModelConfig()
+    mc.inter_dim = 32
+    mc.style_dim = 16
+    mc.text_encoder.hidden_dim = 32
+    mc.text_encoder.filter_channels = 64
+    mc.text_encoder.heads = 2
+    mc.text_encoder.layers = 1
+    return cfg, mc
+
+
+def test_alignment_stage_and_resume(workdir):
+    import jax
+    from jax.sharding import Mesh
+
+    from stylish_tts_tpu.trainer.checkpoint import find_latest_checkpoint
+    from stylish_tts_tpu.trainer.loop import Trainer
+
+    cfg, mc = _configs(workdir)
+    out = str(workdir / "out")
+    # single-device mesh: keep batch divisibility trivial on CPU tests
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    trainer = Trainer(cfg, mc, out, mesh=mesh)
+    state = trainer.train("alignment")
+
+    # artifacts: train.log, checkpoint, aligner safetensors, norm stats
+    stage_dir = osp.join(out, "alignment")
+    assert osp.isfile(osp.join(stage_dir, "train.log"))
+    assert osp.isfile(osp.join(out, "normalization.json"))
+    assert osp.isfile(str(workdir / "data" / "alignment_model.safetensors"))
+    ckpt = find_latest_checkpoint(stage_dir)
+    assert ckpt is not None
+    assert int(state.step) > 0
+
+    # resume from the checkpoint: state restores, counters carry
+    trainer2 = Trainer(cfg, mc, out, mesh=mesh)
+    state2 = trainer2.train("alignment", checkpoint=ckpt)
+    assert int(state2.step) >= int(state.step)
+    a = jax.tree.leaves(state.params["text_aligner"])[0]
+    b = jax.tree.leaves(state2.params["text_aligner"])[0]
+    assert np.asarray(a).shape == np.asarray(b).shape
