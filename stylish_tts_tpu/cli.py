@@ -257,8 +257,10 @@ def convert(config_path, model_config_path, checkpoint, out_dir, stablehlo):
 @click.option("--model-config", "model_config_path", type=click.Path(exists=True))
 @click.option("--checkpoint", required=True, type=click.Path(exists=True))
 @click.option("--out", "out_path", required=True, type=click.Path())
-def voicepack(config_path, model_config_path, checkpoint, out_path):
-    """Encode training-set styles into a static voicepack."""
+@click.option("--dynamic", is_flag=True, default=False,
+              help="per-segment styles + sentence-embedding kNN pack")
+def voicepack(config_path, model_config_path, checkpoint, out_path, dynamic):
+    """Encode training-set styles into a voicepack (static or dynamic)."""
     import jax
 
     from .trainer.checkpoint import load_checkpoint
@@ -266,8 +268,10 @@ def voicepack(config_path, model_config_path, checkpoint, out_path):
     from .trainer.loop import Trainer
     from .trainer.state import create_train_state
     from .tts.voicepack import (
+        build_dynamic_pack,
         build_static_pack,
         encode_all_styles,
+        save_dynamic_voicepack,
         save_static_voicepack,
     )
 
@@ -280,8 +284,15 @@ def voicepack(config_path, model_config_path, checkpoint, out_path):
     styles = encode_all_styles(
         ds, trainer.models, state.params, norm, model_config
     )
-    pack = build_static_pack(styles)
-    save_static_voicepack(out_path, pack)
+    if dynamic:
+        from .textproc.embed import get_embedder
+
+        texts = [s.text for s in ds.segments]
+        pack = build_dynamic_pack(styles, texts, get_embedder())
+        save_dynamic_voicepack(out_path, pack)
+    else:
+        pack = build_static_pack(styles)
+        save_static_voicepack(out_path, pack)
     click.echo(f"wrote voicepack ({styles['lengths'].shape[0]} segments)")
 
 
@@ -308,6 +319,12 @@ def speak(package_dir, voicepack_path, text_path, out_path, speed):
 
     pkg = InferencePackage(package_dir)
     pack = load_voicepack(voicepack_path)
+    embed = None
+    if pack["kind"] == "dynamic":
+        from .textproc.embed import get_embedder
+        from .tts.voicepack import lookup_dynamic_style
+
+        embed = get_embedder()
     pieces = []
     with open(text_path, encoding="utf-8") as f:
         for line in f:
@@ -315,9 +332,14 @@ def speak(package_dir, voicepack_path, text_path, out_path, speed):
             if not line:
                 continue
             tokens = pkg.tokenize(line)
-            speech_s, pe_s, dur_s = lookup_static_style(
-                pack, tokens.shape[0]
-            )
+            if embed is not None:
+                speech_s, pe_s, dur_s = lookup_dynamic_style(
+                    pack, embed([line])[0]
+                )
+            else:
+                speech_s, pe_s, dur_s = lookup_static_style(
+                    pack, tokens.shape[0]
+                )
             audio = pkg.generate_speech(
                 tokens, speech_s, pe_s, dur_s, speed=speed
             )

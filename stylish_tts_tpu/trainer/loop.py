@@ -103,6 +103,29 @@ def try_load_wavlm_loss(model_name: str):
     return make_wavlm_loss(params)
 
 
+def save_git_state(out_dir: str) -> None:
+    """Snapshot the framework's git commit + diff into the stage dir
+    (reference utils.py:617-624 git_state.txt)."""
+    import subprocess
+
+    repo = osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__))))
+    try:
+        commit = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        diff = subprocess.run(
+            ["git", "-C", repo, "diff"], capture_output=True, text=True,
+        ).stdout
+    except Exception:
+        from .. import __version__
+
+        commit, diff = f"version {__version__}", ""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(osp.join(out_dir, "git_state.txt"), "w", encoding="utf-8") as f:
+        f.write(f"Git commit hash or version: {commit}\n\n{diff}")
+
+
 def select_validation_samples(
     paths: List[str], count: int, force: List[str]
 ) -> List[str]:
@@ -237,6 +260,14 @@ class Trainer:
         while stage is not None:
             out_dir = osp.join(self.base_out_dir, stage)
             setup_stage_logging(out_dir)
+            save_git_state(out_dir)
+            # config copies into the stage dir (reference train.py:120-123)
+            with open(osp.join(out_dir, "config.json"), "w",
+                      encoding="utf-8") as f:
+                f.write(self.config.model_dump_json(indent=2))
+            with open(osp.join(out_dir, "model_config.json"), "w",
+                      encoding="utf-8") as f:
+                f.write(self.mc.model_dump_json(indent=2))
             self.writer = MetricsWriter(out_dir)
             state = self.run_stage(
                 stage, state, train_ds, val_ds, train_bins, val_bins,

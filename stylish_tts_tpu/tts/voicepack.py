@@ -123,13 +123,61 @@ def save_static_voicepack(path: str, pack: Dict[str, np.ndarray]) -> None:
     save_cache(path, {f"static/{k}": v for k, v in pack.items()})
 
 
+def build_dynamic_pack(
+    styles: Dict[str, np.ndarray], texts, embed_fn
+) -> Dict[str, np.ndarray]:
+    """Per-segment styles + sentence embeddings (reference
+    voicepack.py:97-113 make_dynamic)."""
+    emb = embed_fn(list(texts)).astype(np.float32)
+    return {
+        "speech": styles["speech"],
+        "pe": styles["pe"],
+        "duration": styles["duration"],
+        "embedding": emb,
+    }
+
+
+def save_dynamic_voicepack(path: str, pack: Dict[str, np.ndarray]) -> None:
+    save_cache(path, {f"dynamic/{k}": v for k, v in pack.items()})
+
+
 def load_voicepack(path: str) -> Dict[str, np.ndarray]:
+    """Returns {"kind": "static"|"dynamic", ...arrays}."""
     from ..data.caches import load_cache
 
     raw = load_cache(path)
-    return {k.split("/", 1)[1]: v for k, v in raw.items() if k.startswith("static/")}
+    if any(k.startswith("dynamic/") for k in raw):
+        out = {
+            k.split("/", 1)[1]: v
+            for k, v in raw.items()
+            if k.startswith("dynamic/")
+        }
+        out["kind"] = "dynamic"
+        return out
+    out = {
+        k.split("/", 1)[1]: v for k, v in raw.items() if k.startswith("static/")
+    }
+    out["kind"] = "static"
+    return out
 
 
 def lookup_static_style(pack: Dict[str, np.ndarray], token_count: int):
     row = min(token_count, STATIC_ROWS - 1)
     return pack["speech"][row], pack["pe"][row], pack["duration"][row]
+
+
+def lookup_dynamic_style(
+    pack: Dict[str, np.ndarray], query_embedding: np.ndarray, k: int = 8
+):
+    """Blend the k nearest segments' styles by cosine similarity
+    (reference tts/cli.py:67-76 kNN-blends 8 nearest SBERT styles)."""
+    emb = pack["embedding"]
+    q = query_embedding / (np.linalg.norm(query_embedding) + 1e-9)
+    e = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9)
+    sims = e @ q
+    k = min(k, sims.shape[0])
+    idx = np.argpartition(-sims, k - 1)[:k]
+    w = np.maximum(sims[idx], 0.0) + 1e-6
+    w = w / w.sum()
+    blend = lambda arr: (arr[idx] * w[:, None]).sum(axis=0)
+    return blend(pack["speech"]), blend(pack["pe"]), blend(pack["duration"])

@@ -100,3 +100,37 @@ def test_prefetch_loader_yields_all(tmp_path):
         assert np.abs(batch.audio_gt).max() > 0
         total += len(paths)
     assert total == 6
+
+
+def test_dynamic_voicepack_roundtrip(tmp_path):
+    from stylish_tts_tpu.textproc.embed import get_embedder
+    from stylish_tts_tpu.tts.voicepack import (
+        build_dynamic_pack,
+        load_voicepack,
+        lookup_dynamic_style,
+        save_dynamic_voicepack,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 20
+    styles = {
+        "speech": rng.standard_normal((n, 8)).astype(np.float32),
+        "pe": rng.standard_normal((n, 8)).astype(np.float32),
+        "duration": rng.standard_normal((n, 8)).astype(np.float32),
+        "lengths": rng.integers(5, 60, n).astype(np.int32),
+    }
+    texts = [f"sentence number {i} about topic {i % 3}" for i in range(n)]
+    embed = get_embedder()
+    pack = build_dynamic_pack(styles, texts, embed)
+    p = str(tmp_path / "dyn.safetensors")
+    save_dynamic_voicepack(p, pack)
+    loaded = load_voicepack(p)
+    assert loaded["kind"] == "dynamic"
+    q = embed(["sentence number 3 about topic 0"])[0]
+    s, pe, d = lookup_dynamic_style(loaded, q, k=4)
+    assert s.shape == (8,) and np.isfinite(s).all()
+    # the query's own sentence should dominate the blend:
+    # its style is the single nearest neighbor
+    sims = (loaded["embedding"] / np.linalg.norm(loaded["embedding"], axis=1,
+            keepdims=True)) @ (q / np.linalg.norm(q))
+    assert sims.argmax() == 3
