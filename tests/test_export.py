@@ -5,6 +5,7 @@ import os.path as osp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
 import jax
 
 from stylish_tts_tpu.config import ModelConfig

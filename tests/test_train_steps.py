@@ -7,6 +7,7 @@ modules, and leaves every metric finite (SURVEY.md §4 multi-host-sim).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow
 from fixtures import make_micro_dataset
 
 
