@@ -436,7 +436,7 @@ class Trainer:
 
         elapsed = time.time() - t_start
         logger.info(
-            "stage %s done: %d steps, %.1f s, %.1f audio-hours trained",
+            "stage %s done: %d steps, %.1f s, %.3f audio-hours trained",
             stage, self.manifest.current_total_step, elapsed,
             audio_seconds_trained / 3600.0,
         )
