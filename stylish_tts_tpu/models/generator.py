@@ -77,12 +77,17 @@ class SineSource(nn.Module):
         rand_ini = jax.random.uniform(k_phase, (b, n_harm))
         rand_ini = rand_ini.at[:, 0].set(0.0)
 
-        # upsample radians to audio rate, then integrate (cumsum in fp32)
-        rad = _linear_resize(
-            jnp.moveaxis(rad_per_sample, 1, 2), source_len
-        )  # (B, n_harm, T)
-        rad = rad.at[:, :, 0].add(rand_ini)
-        phase = jnp.cumsum(rad.astype(jnp.float32), axis=-1) * (2.0 * jnp.pi)
+        # integrate at FRAME rate, then linearly upsample the phase
+        # (reference generator.py:365-382: interpolate-then-cumsum at the
+        # coarse rate x upsample_scale — 1/hop the cumsum work and error
+        # accumulation of an audio-rate integration)
+        rad = jnp.moveaxis(rad_per_sample, 1, 2)  # (B, n_harm, frames)
+        phase_frame = (
+            jnp.cumsum(rad.astype(jnp.float32), axis=-1)
+            * (2.0 * jnp.pi * self.hop_length)
+        )
+        phase = _linear_resize(phase_frame, source_len)  # (B, n_harm, T)
+        phase = phase + (rand_ini * 2.0 * jnp.pi)[:, :, None]
         sines = jnp.sin(phase) * self.sine_amp  # (B, n_harm, T)
 
         uv_frame = (f0 > self.voiced_threshold).astype(jnp.float32)

@@ -170,3 +170,18 @@ def test_discriminators(models, rng):
     p = models["dur_disc"].init(rng, dd_in)
     outs = models["dur_disc"].apply(p, dd_in)
     assert len(outs) == 5
+
+
+def test_sine_source_harmonic_frequency():
+    from stylish_tts_tpu.models.generator import SineSource
+
+    src = SineSource(sample_rate=24000, hop_length=300)
+    f0 = jnp.full((1, 80), 200.0)  # 1 s at 200 Hz
+    params = src.init(jax.random.PRNGKey(0), f0, jax.random.PRNGKey(1))
+    sig = np.asarray(src.apply(params, f0, jax.random.PRNGKey(1)))[0]
+    assert sig.shape[0] == 80 * 300
+    spec = np.abs(np.fft.rfft(sig[2000:22000]))
+    freqs = np.fft.rfftfreq(20000, 1 / 24000)
+    peak = freqs[spec.argmax()]
+    # energy must sit on a harmonic of the fundamental
+    assert min(peak % 200.0, 200.0 - peak % 200.0) < 5.0
