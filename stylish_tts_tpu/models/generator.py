@@ -13,10 +13,10 @@ Capability parity with the reference MultiGenerator/Generator
 
 TPU-native notes: layout is (B, T, C); "pixel shuffle" upsampling is a
 dense channel expansion + reshape (an MXU matmul, no conv_transpose);
-the sine source phase cumsum runs at frame rate then upsamples
-(identical math to the reference's interpolate-then-cumsum ordering is
-kept where it matters: cumsum happens at audio rate on interpolated
-radians, reference generator.py:336-383).
+the sine source integrates phase at frame rate then linearly upsamples
+(matching the reference's coarse-rate integration, generator.py:365-382);
+optional jax.checkpoint rematerialization on the audio-rate ConvNeXt
+stacks trades ~15% FLOPs for ~2x training batch headroom.
 """
 
 from __future__ import annotations
@@ -117,6 +117,7 @@ class Generator(nn.Module):
     io_conv_kernel_size: int
     conv_layers: int
     upsample_rates: Sequence[int]
+    remat: bool = False
 
     @nn.compact
     def __call__(self, mel, style, pitch, voiced, *, rng: jax.Array):
@@ -128,6 +129,11 @@ class Generator(nn.Module):
         head_hop = self.hop_length // self.scalehop
         fft_dim = head_fft // 2 + 1
         end_fft = self.start_fft + self.hidden_dim
+        ConvNeXt = (
+            nn.remat(GeneratorConvNeXtBlock)
+            if self.remat
+            else GeneratorConvNeXtBlock
+        )
 
         # ---- harmonic prior (no grad through the source) ----
         prior = SineSource(
@@ -164,16 +170,14 @@ class Generator(nn.Module):
         dim = self.input_dim
         amp_layers = self.conv_layers - len(self.upsample_rates)
         for i in range(amp_layers):
-            x = GeneratorConvNeXtBlock(dim, dim * 4, name=f"amp_convnext_{i}")(
-                x, style
-            )
+            x = ConvNeXt(dim, dim * 4, name=f"amp_convnext_{i}")(x, style)
         for i, stride in enumerate(self.upsample_rates):
             out_dim = dim // 2
             # dense channel expansion + reshape == sub-pixel upsample (MXU)
             h = Conv1d(out_dim * stride, 11, name=f"upconv_{i}")(x)
             b, t, _ = h.shape
             x = h.reshape(b, t, stride, out_dim).reshape(b, t * stride, out_dim)
-            x = GeneratorConvNeXtBlock(out_dim, out_dim * 4, name=f"upblock_{i}")(
+            x = ConvNeXt(out_dim, out_dim * 4, name=f"upblock_{i}")(
                 x, style
             )
             dim = out_dim
@@ -191,7 +195,7 @@ class Generator(nn.Module):
         )(phase_in)
         phase = nn.LayerNorm(epsilon=1e-6, name="phase_norm")(phase)
         for i in range(self.conv_layers):
-            phase = GeneratorConvNeXtBlock(
+            phase = ConvNeXt(
                 self.hidden_dim, self.hidden_dim * 4, name=f"phase_convnext_{i}"
             )(phase, style)
         phase = nn.LayerNorm(epsilon=1e-6, name="phase_final_norm")(phase)
@@ -279,6 +283,7 @@ class MultiGenerator(nn.Module):
             io_conv_kernel_size=self.config.io_conv_kernel_size,
             conv_layers=self.config.conv_layers,
             upsample_rates=(3, 5, 5),
+            remat=self.config.remat,
             name="basegen",
         )(x, style, pitch, voiced, rng=rng)
         return DecoderPrediction(audio=jnp.tanh(audio))

@@ -36,6 +36,10 @@ def _hashed_ngram_embed(text: str, dim: int = DIM) -> np.ndarray:
 def get_embedder() -> Callable[[List[str]], np.ndarray]:
     """Returns texts -> (N, D) embedding matrix."""
     try:
+        import os
+
+        # fail fast in zero-egress environments instead of retrying HF
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
         from sentence_transformers import SentenceTransformer
 
         model = SentenceTransformer("stsb-mpnet-base-v2")
