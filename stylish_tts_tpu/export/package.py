@@ -204,6 +204,33 @@ class InferencePackage:
 
     # ---- public API ------------------------------------------------------
 
+    def warmup(self, text_buckets=None, max_frames_per_text=None) -> int:
+        """Pre-compile the bucket grid so serving never hits a compile at
+        request time.  Returns the number of programs compiled.
+
+        By default compiles each text bucket with its two most likely
+        frame buckets (expected duration ~ 8 frames/token).
+        """
+        compiled = 0
+        for L in text_buckets or TEXT_BUCKETS:
+            dur_args = (
+                self.params["duration_predictor"],
+                jnp.ones((1, L), jnp.int32),
+                jnp.ones((1,), jnp.int32),
+                jnp.zeros((1, self.mc.style_dim)),
+            )
+            self._duration_fn(L).lower(*dur_args).compile()
+            expect = frame_bucket(L * 8)
+            frames = {expect, expect + FRAME_BUCKET_STEP}
+            if max_frames_per_text:
+                frames = {f for f in frames if f <= max_frames_per_text}
+            for F in frames:
+                fn, args = self._acoustic_fn_and_args(L, F)
+                self._acoustic_fns[(L, F)] = jax.jit(fn)
+                self._acoustic_fns[(L, F)].lower(*args).compile()
+                compiled += 1
+        return compiled
+
     def tokenize(self, text: str) -> np.ndarray:
         return np.asarray(self.text_cleaner(text), np.int32)
 

@@ -71,3 +71,16 @@ def test_export_and_generate(tmp_path):
     # speed control changes the length
     slow = pkg.generate_speech(tokens, style, style, style, speed=0.5)
     assert slow.shape[0] > audio.shape[0]
+
+
+def test_warmup_precompiles(tmp_path):
+    mc = tiny_mc()
+    models = build_model(mc)
+    params = init_all_params(models, mc, jax.random.PRNGKey(0))
+    out = export_checkpoint(
+        params, mc, NormalizationStats(), str(tmp_path / "pkg2")
+    )
+    pkg = InferencePackage(out)
+    n = pkg.warmup(text_buckets=[32], max_frames_per_text=300)
+    assert n >= 1
+    assert (32, 300) in pkg._acoustic_fns or (32, 400) in pkg._acoustic_fns
