@@ -138,10 +138,11 @@ def discriminator_pair_loss(
     gap-aware LR EMA (reference losses.py:287 uses the pre-TPRLS value).
     """
     loss = 0.0
-    for dr, dg in zip(real_scores, fake_scores):
-        loss = loss + jnp.mean(jnp.square(1.0 - dr)) + jnp.mean(jnp.square(dg))
     tprls = 0.0
     for dr, dg in zip(real_scores, fake_scores):
+        dr = dr.astype(jnp.float32)
+        dg = dg.astype(jnp.float32)
+        loss = loss + jnp.mean(jnp.square(1.0 - dr)) + jnp.mean(jnp.square(dg))
         tprls = tprls + _tprls(dr, dg)
     return loss + tprls, loss
 
@@ -151,9 +152,10 @@ def generator_pair_loss(
 ) -> jnp.ndarray:
     """LSGAN (1-fake)^2 + TPRLS (generator side)."""
     loss = 0.0
-    for dg in fake_scores:
-        loss = loss + jnp.mean(jnp.square(1.0 - dg))
     for dr, dg in zip(real_scores, fake_scores):
+        dr = dr.astype(jnp.float32)
+        dg = dg.astype(jnp.float32)
+        loss = loss + jnp.mean(jnp.square(1.0 - dg))
         loss = loss + _tprls_gen(dr, dg)
     return loss
 

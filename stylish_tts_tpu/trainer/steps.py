@@ -254,18 +254,26 @@ def _acoustic_features(ctx, batch):
 def _adv_generator_metrics(ctx, frozen_disc_params, feats_t, feats_p,
                            audio_t, audio_p):
     """Generator-side adversarial loss over 3 MRDs + waveform disc
-    (reference losses.py:313-327)."""
+    (reference losses.py:313-327).  Under mixed precision the
+    discriminator activations run in bf16: their channel widths (32/64)
+    pad 4x onto the 128-lane tile, so fp32 here dominates HBM."""
+    dt = ctx.compute_dtype
+    frozen_disc_params = _cast_f32(frozen_disc_params, dt)
     total = 0.0
     for i in range(3):
         real = ctx.models[f"mrd{i}"].apply(
-            frozen_disc_params[f"mrd{i}"], feats_t.fft_mag[i]
+            frozen_disc_params[f"mrd{i}"], feats_t.fft_mag[i].astype(dt)
         )
         fake = ctx.models[f"mrd{i}"].apply(
-            frozen_disc_params[f"mrd{i}"], feats_p.fft_mag[i]
+            frozen_disc_params[f"mrd{i}"], feats_p.fft_mag[i].astype(dt)
         )
         total = total + L.generator_pair_loss(real, fake)
-    real = ctx.models["disc"].apply(frozen_disc_params["disc"], audio_t)
-    fake = ctx.models["disc"].apply(frozen_disc_params["disc"], audio_p)
+    real = ctx.models["disc"].apply(
+        frozen_disc_params["disc"], audio_t.astype(dt)
+    )
+    fake = ctx.models["disc"].apply(
+        frozen_disc_params["disc"], audio_p.astype(dt)
+    )
     total = total + L.DISC_AUDIO_WEIGHT * L.generator_pair_loss(real, fake)
     return total
 
@@ -275,21 +283,26 @@ def _disc_phase_mrd(ctx, state, feats_t_fft, pred_fft_detached, audio_t,
     """Discriminator step: loss over all 3 MRDs + disc, update only the
     sampled MRD + disc (reference stage.py:128-146)."""
 
+    dt = ctx.compute_dtype
+
     def disc_loss_fn(disc_params):
+        cast = _cast_f32(disc_params, dt)
         total = 0.0
         raws = {}
         for i in range(3):
             real = ctx.models[f"mrd{i}"].apply(
-                disc_params[f"mrd{i}"], feats_t_fft[i]
+                cast[f"mrd{i}"], feats_t_fft[i].astype(dt)
             )
             fake = ctx.models[f"mrd{i}"].apply(
-                disc_params[f"mrd{i}"], pred_fft_detached[i]
+                cast[f"mrd{i}"], pred_fft_detached[i].astype(dt)
             )
             pair, raw = L.discriminator_pair_loss(real, fake)
             total = total + pair
             raws[f"mrd{i}"] = raw
-        real = ctx.models["disc"].apply(disc_params["disc"], audio_t)
-        fake = ctx.models["disc"].apply(disc_params["disc"], audio_p_detached)
+        real = ctx.models["disc"].apply(cast["disc"], audio_t.astype(dt))
+        fake = ctx.models["disc"].apply(
+            cast["disc"], audio_p_detached.astype(dt)
+        )
         pair, raw = L.discriminator_pair_loss(real, fake)
         total = total + L.DISC_AUDIO_WEIGHT * pair
         raws["disc"] = raw
