@@ -11,7 +11,6 @@ from __future__ import annotations
 import logging
 import os
 import os.path as osp
-import sys
 
 import click
 import numpy as np

@@ -12,7 +12,7 @@ serialized into checkpoints (reference: config_loader.py:341-345).
 from __future__ import annotations
 
 import json
-from typing import Dict, List, Optional
+from typing import List
 
 import yaml
 from pydantic import BaseModel, Field

@@ -11,9 +11,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Optional
-
-import numpy as np
+from typing import Iterator
 
 from .collate import collate_batch
 from .dataset import FilePathDataset

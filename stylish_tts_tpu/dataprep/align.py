@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import logging
 import os.path as osp
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ TPU-first design choices (deliberate deviations from the torch code):
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ The conv module's BatchNorm becomes GroupNorm(1) (see common.py note).
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

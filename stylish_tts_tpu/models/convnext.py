@@ -7,7 +7,6 @@ All blocks: depthwise conv(k=7) -> norm -> pointwise expand -> activation
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from .common import (

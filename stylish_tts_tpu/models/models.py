@@ -49,6 +49,14 @@ DISCRIMINATOR_NAMES = ["mrd0", "mrd1", "mrd2", "disc", "pitch_disc", "dur_disc"]
 
 def build_model(model_config: ModelConfig) -> Dict[str, nn.Module]:
     mc = model_config
+    # generator.remat also remats the audio/spec discriminators: their
+    # wide fp-padded activations dominate HBM in the adversarial phase
+    Spec = nn.remat(SpecDiscriminator) if mc.generator.remat else SpecDiscriminator
+    CtxFree = (
+        nn.remat(ContextFreeDiscriminator)
+        if mc.generator.remat
+        else ContextFreeDiscriminator
+    )
     return {
         "text_aligner": TextAligner(
             n_mels=mc.text_aligner.n_mels,
@@ -68,10 +76,10 @@ def build_model(model_config: ModelConfig) -> Dict[str, nn.Module]:
             pe_config=mc.pitch_energy_predictor,
         ),
         "speech_predictor": SpeechPredictor(model_config=mc),
-        "disc": ContextFreeDiscriminator(),
-        "mrd0": SpecDiscriminator(),
-        "mrd1": SpecDiscriminator(),
-        "mrd2": SpecDiscriminator(),
+        "disc": CtxFree(),
+        "mrd0": Spec(),
+        "mrd1": Spec(),
+        "mrd2": Spec(),
         "speech_style_encoder": MelStyleEncoder(
             dim_in=mc.style_encoder.n_mels,
             style_dim=mc.style_dim,

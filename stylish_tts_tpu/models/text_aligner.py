@@ -12,7 +12,6 @@ before each conv so padded frames don't bleed in.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from .common import Conv1d, sequence_mask

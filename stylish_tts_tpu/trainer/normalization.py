@@ -9,7 +9,6 @@ normalization.json and carried in checkpoints.
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import asdict, dataclass
 
 import numpy as np

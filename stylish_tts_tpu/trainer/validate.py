@@ -7,8 +7,6 @@ stage_type.py:293-326 alignment w/ forced-align confidence,
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -8,7 +8,7 @@ residual summaries).  Figures go to TensorBoard via MetricsWriter.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
