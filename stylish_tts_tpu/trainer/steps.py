@@ -59,6 +59,15 @@ class StepContext:
                  slm_loss_fn=None, axis_name: Optional[str] = None,
                  mixed_precision: bool = False):
         self.compute_dtype = jnp.bfloat16 if mixed_precision else jnp.float32
+        # Discriminator precision: bf16 32-channel convs are ~30% slower on
+        # the MXU than fp32 here, but halve their (4x-tile-padded) HBM
+        # footprint — so bf16 discs ride the memory-saver flag
+        # (generator.remat), not the speed flag.
+        self.disc_dtype = (
+            jnp.bfloat16
+            if (mixed_precision and model_config.generator.remat)
+            else jnp.float32
+        )
         mc = model_config
         self.models = models
         self.mc = mc
@@ -254,10 +263,9 @@ def _acoustic_features(ctx, batch):
 def _adv_generator_metrics(ctx, frozen_disc_params, feats_t, feats_p,
                            audio_t, audio_p):
     """Generator-side adversarial loss over 3 MRDs + waveform disc
-    (reference losses.py:313-327).  Under mixed precision the
-    discriminator activations run in bf16: their channel widths (32/64)
-    pad 4x onto the 128-lane tile, so fp32 here dominates HBM."""
-    dt = ctx.compute_dtype
+    (reference losses.py:313-327).  Discriminator activations run in
+    ctx.disc_dtype (see StepContext)."""
+    dt = ctx.disc_dtype
     frozen_disc_params = _cast_f32(frozen_disc_params, dt)
     total = 0.0
     for i in range(3):
@@ -283,7 +291,7 @@ def _disc_phase_mrd(ctx, state, feats_t_fft, pred_fft_detached, audio_t,
     """Discriminator step: loss over all 3 MRDs + disc, update only the
     sampled MRD + disc (reference stage.py:128-146)."""
 
-    dt = ctx.compute_dtype
+    dt = ctx.disc_dtype
 
     def disc_loss_fn(disc_params):
         cast = _cast_f32(disc_params, dt)
