@@ -65,12 +65,23 @@ def yin_pitch(
     valid = (taus >= tau_min)[None, None, :]
     cmnd_v = jnp.where(valid, cmnd, jnp.inf)
 
-    # first tau under threshold, else global min
+    # YIN lag pick: first tau under threshold, then descend to the local
+    # minimum of that under-threshold run (the crossing itself biases
+    # sharp); fall back to the global min when nothing crosses.
     under = cmnd_v < YIN_THRESHOLD
     first_under = jnp.argmax(under, axis=-1)
     any_under = jnp.any(under, axis=-1)
+    after = taus[None, None, :] >= first_under[..., None]
+    rise = after & ~under
+    first_rise = jnp.where(
+        jnp.any(rise, axis=-1), jnp.argmax(rise, axis=-1), tau_max + 1
+    )
+    run_mask = after & (taus[None, None, :] < first_rise[..., None])
+    run_min = jnp.argmin(
+        jnp.where(run_mask, cmnd_v, jnp.inf), axis=-1
+    )
     best_min = jnp.argmin(cmnd_v, axis=-1)
-    tau_star = jnp.where(any_under, first_under, best_min)
+    tau_star = jnp.where(any_under, run_min, best_min)
 
     # parabolic refinement around tau_star
     def gather(arr, idx):

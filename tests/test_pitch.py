@@ -1,0 +1,63 @@
+"""YIN pitch extractor accuracy on synthetic signals."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from stylish_tts_tpu.dataprep.pitch import yin_pitch
+
+
+def _tone(f0, seconds=1.0, sr=24000, amp=0.4):
+    t = np.arange(int(seconds * sr)) / sr
+    return (amp * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+
+
+def test_yin_pure_tone():
+    sr, hop = 24000, 300
+    audio = _tone(220.0)[None, :]
+    frames = audio.shape[1] // hop
+    f0 = np.asarray(
+        yin_pitch(jnp.asarray(audio), hop=hop, frames=frames, sample_rate=sr)
+    )[0]
+    mid = f0[5:-5]
+    voiced = mid[mid > 0]
+    assert voiced.size > 0.9 * mid.size
+    assert abs(np.median(voiced) - 220.0) < 3.0
+
+
+def test_yin_vibrato_tracks():
+    sr, hop = 24000, 300
+    t = np.arange(sr) / sr
+    inst = 180.0 + 20.0 * np.sin(2 * np.pi * 2.0 * t)  # 2 Hz vibrato
+    phase = 2 * np.pi * np.cumsum(inst) / sr
+    audio = (0.4 * np.sin(phase)).astype(np.float32)[None, :]
+    frames = audio.shape[1] // hop
+    f0 = np.asarray(
+        yin_pitch(jnp.asarray(audio), hop=hop, frames=frames, sample_rate=sr)
+    )[0]
+    mid = f0[5:-5]
+    voiced = mid[mid > 0]
+    # range must span the vibrato depth
+    assert voiced.min() < 172 and voiced.max() > 188
+    assert abs(np.median(voiced) - 180.0) < 8.0
+
+
+def test_yin_silence_unvoiced():
+    sr, hop = 24000, 300
+    audio = np.zeros((1, 24000), np.float32)
+    frames = audio.shape[1] // hop
+    f0 = np.asarray(
+        yin_pitch(jnp.asarray(audio), hop=hop, frames=frames, sample_rate=sr)
+    )[0]
+    assert (f0 == 0).all()
+
+
+def test_yin_noise_mostly_unvoiced():
+    sr, hop = 24000, 300
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+    frames = audio.shape[1] // hop
+    f0 = np.asarray(
+        yin_pitch(jnp.asarray(audio), hop=hop, frames=frames, sample_rate=sr)
+    )[0]
+    assert (f0 > 0).mean() < 0.5
