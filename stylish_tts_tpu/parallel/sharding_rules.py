@@ -1,0 +1,101 @@
+"""2-D mesh sharding: data axis + optional model (tensor) axis.
+
+The reference's ceiling is data parallelism (SURVEY.md §2.8).  Here a
+("data", "model") mesh shards the widest kernels megatron-style by
+pattern-matching parameter tree paths:
+
+  * pointwise expansions  (pwconv1, ConvFFN conv1, FFN intermediate):
+    output-feature sharded  -> P(..., "model")
+  * pointwise contractions (pwconv2, ConvFFN conv2, attention out):
+    input-feature sharded   -> P("model", ...)
+  * attention q/k/v: output (head) sharded
+
+Adam moments mirror their parameter's spec (tree paths match), so the
+whole TrainState shards with one tree_map_with_path.  The step
+functions are untouched — XLA inserts the all-reduces implied by the
+shardings (they ride ICI).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+# (path regex, feature axis to shard): -1 = output features, -2 = input
+_RULES = [
+    (r"pwconv1/kernel$", -1),
+    (r"pwconv2/kernel$", -2),
+    (r"ffn_\d+/conv1/Conv_0/kernel$", -1),
+    (r"ffn_\d+/conv2/Conv_0/kernel$", -2),
+    (r"attn_\d+/(q|k|v)/kernel$", -1),
+    (r"attn_\d+/out/kernel$", -2),
+    (r"attn/(to_q|to_kv)/kernel$", -1),
+    (r"attn/to_out/kernel$", -2),
+    (r"(ff1|ff2)/Dense_0/kernel$", -1),
+    (r"(ff1|ff2)/Dense_1/kernel$", -2),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def spec_for_leaf(path, leaf) -> P:
+    """PartitionSpec for one TrainState leaf (replicated by default)."""
+    if not hasattr(leaf, "ndim") or leaf.ndim < 2:
+        return P()
+    s = _path_str(path)
+    for pattern, axis in _RULES:
+        if re.search(pattern, s):
+            ndim = leaf.ndim
+            ax = axis % ndim
+            if leaf.shape[ax] % 2 != 0:
+                return P()  # not divisible enough to bother
+            spec = [None] * ndim
+            spec[ax] = MODEL_AXIS
+            return P(*spec)
+    return P()
+
+
+def make_2d_mesh(data: int, model: int, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= data * model
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def state_shardings(state, mesh: Mesh):
+    """NamedSharding tree for a TrainState under the 2-D mesh."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec_for_leaf(path, leaf)),
+        state,
+    )
+
+
+def jit_2d_parallel_step(step_fn, state, mesh: Mesh):
+    """jit a (state, batch) -> (state, metrics) step over a
+    ("data", "model") mesh; batch sharded on data, params per rules."""
+    st_shard = state_shardings(state, mesh)
+    batch_shard = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        step_fn,
+        in_shardings=(st_shard, batch_shard),
+        out_shardings=(st_shard, repl),
+    )
