@@ -353,5 +353,29 @@ def speak(package_dir, voicepack_path, text_path, out_path, speed):
     )
 
 
+@tts_cli.command("prepare-book")
+@click.option("--text", "text_path", required=True, type=click.Path(exists=True))
+@click.option("--out", "out_path", required=True, type=click.Path())
+@click.option("--phonemize", "do_phonemize", is_flag=True, default=False,
+              help="emit IPA phonemes (espeak when available)")
+def prepare_book(text_path, out_path, do_phonemize):
+    """Split long-form text into synthesis-sized utterances, one per
+    line — ready for `speak` (reference ttab prepare_book pipeline)."""
+    from .textproc.book import pack_utterances, split_chapters
+    from .textproc.g2p import phonemize as g2p
+    from .textproc.normalize import normalize_text
+
+    with open(text_path, encoding="utf-8") as f:
+        text = f.read()
+    lines = []
+    for chapter in split_chapters(text):
+        sentences = [normalize_text(s) for s in chapter.sentences]
+        for utt in pack_utterances(sentences):
+            lines.append(g2p(utt) if do_phonemize else utt)
+    with open(out_path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    click.echo(f"wrote {len(lines)} utterances to {out_path}")
+
+
 if __name__ == "__main__":
     train_cli()
