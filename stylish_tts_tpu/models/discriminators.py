@@ -115,6 +115,53 @@ class ContextFreeDiscriminator(nn.Module):
         return [x.reshape(b, -1)]
 
 
+class PeriodDiscriminator(nn.Module):
+    """HiFi-GAN period discriminator (reference discriminator.py:178-246;
+    defined there but not in build_model — same availability here)."""
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+
+    @nn.compact
+    def __call__(self, audio):
+        """audio (B, T) -> (score (B, N), fmaps)."""
+        b, t = audio.shape
+        pad = (self.period - t % self.period) % self.period
+        x = jnp.pad(audio, ((0, 0), (0, pad)), mode="reflect")
+        x = x.reshape(b, -1, self.period, 1)  # (B, T//p, p, 1) NHWC
+        fmap = []
+        for ch in (32, 128, 512, 1024):
+            x = nn.Conv(
+                ch, (self.kernel_size, 1), strides=(self.stride, 1),
+                padding=((2, 2), (0, 0)),
+            )(x)
+            x = nn.leaky_relu(x, 0.1)
+            fmap.append(x)
+        x = nn.Conv(1024, (self.kernel_size, 1), padding=((2, 2), (0, 0)))(x)
+        x = nn.leaky_relu(x, 0.1)
+        fmap.append(x)
+        x = nn.Conv(1, (3, 1), padding=((1, 1), (0, 0)))(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    """Five period discriminators (2,3,5,7,11), concatenated scores
+    (reference discriminator.py:249-272)."""
+
+    periods: tuple = (2, 3, 5, 7, 11)
+
+    @nn.compact
+    def __call__(self, audio):
+        scores, fmaps = [], []
+        for p in self.periods:
+            s, f = PeriodDiscriminator(period=p, name=f"period_{p}")(audio)
+            scores.append(s)
+            fmaps.extend(f)
+        return jnp.concatenate(scores, axis=1), fmaps
+
+
 class PitchDiscriminator(nn.Module):
     """(B, C_in, T) stacked prosody curves -> 5 score tensors."""
 

@@ -185,3 +185,16 @@ def test_sine_source_harmonic_frequency():
     peak = freqs[spec.argmax()]
     # energy must sit on a harmonic of the fundamental
     assert min(peak % 200.0, 200.0 - peak % 200.0) < 5.0
+
+
+def test_multi_period_discriminator():
+    from stylish_tts_tpu.models.discriminators import MultiPeriodDiscriminator
+
+    mpd = MultiPeriodDiscriminator()
+    audio = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 6000)).astype(np.float32)
+    )
+    params = mpd.init(jax.random.PRNGKey(0), audio)
+    scores, fmaps = mpd.apply(params, audio)
+    assert scores.shape[0] == 2 and scores.shape[1] > 0
+    assert len(fmaps) == 5 * 6
