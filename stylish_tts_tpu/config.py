@@ -124,7 +124,7 @@ class DecoderConfig(BaseModel):
 
 
 class GeneratorConfig(BaseModel):
-    type: str = "freegan"
+    type: str = "freegan"  # or "ringformer"
     input_dim: int = 128
     hidden_dim: int = 256
     conv_intermediate_dim: int = 768
@@ -134,6 +134,17 @@ class GeneratorConfig(BaseModel):
     # rematerialize the audio-rate ConvNeXt stacks in backward
     # (jax.checkpoint): ~2x larger training batches for ~15% extra FLOPs
     remat: bool = False
+    # ringformer variant fields (reference config_loader.py:213 schema;
+    # the reference keeps its ringformer YAML block commented out)
+    resblock_kernel_sizes: List[int] = [3, 7, 11]
+    upsample_rates: List[int] = [4, 5]
+    upsample_initial_channel: int = 256
+    upsample_last_channel: int = 64
+    resblock_dilation_sizes: List[List[int]] = [[1, 3, 5], [1, 3, 5], [1, 3, 5]]
+    upsample_kernel_sizes: List[int] = [8, 10]
+    gen_istft_n_fft: int = 60
+    gen_istft_hop_size: int = 15
+    depth: int = 2
 
 
 class TextEncoderConfig(BaseModel):

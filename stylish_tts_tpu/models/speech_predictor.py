@@ -57,15 +57,35 @@ class SpeechPredictor(nn.Module):
             name="decoder",
         )(asr, pitch, energy, style, voiced, training=training, smooth_rng=smooth_rng)
 
-        return MultiGenerator(
-            style_dim=mc.style_dim,
-            n_fft=mc.n_fft,
-            win_length=mc.win_length,
-            hop_length=mc.hop_length,
-            sample_rate=mc.sample_rate,
-            config=mc.generator,
-            name="generator",
-        )(
+        if mc.generator.type == "ringformer":
+            from .ringformer import UpsampleGenerator
+
+            gen = UpsampleGenerator(
+                style_dim=mc.style_dim,
+                resblock_kernel_sizes=tuple(mc.generator.resblock_kernel_sizes),
+                upsample_rates=tuple(mc.generator.upsample_rates),
+                upsample_initial_channel=mc.generator.upsample_initial_channel,
+                upsample_last_channel=mc.generator.upsample_last_channel,
+                resblock_dilation_sizes=tuple(
+                    tuple(d) for d in mc.generator.resblock_dilation_sizes
+                ),
+                gen_istft_n_fft=mc.generator.gen_istft_n_fft,
+                gen_istft_hop_size=mc.generator.gen_istft_hop_size,
+                sample_rate=mc.sample_rate,
+                conformer_depth=mc.generator.depth,
+                name="generator",
+            )
+        else:
+            gen = MultiGenerator(
+                style_dim=mc.style_dim,
+                n_fft=mc.n_fft,
+                win_length=mc.win_length,
+                hop_length=mc.hop_length,
+                sample_rate=mc.sample_rate,
+                config=mc.generator,
+                name="generator",
+            )
+        return gen(
             mel=mel,
             style=style,
             pitch=denormal_pitch,

@@ -198,3 +198,31 @@ def test_multi_period_discriminator():
     scores, fmaps = mpd.apply(params, audio)
     assert scores.shape[0] == 2 and scores.shape[1] > 0
     assert len(fmaps) == 5 * 6
+
+
+def test_ringformer_generator_variant():
+    mc = small_model_config()
+    mc.generator.type = "ringformer"
+    mc.generator.upsample_initial_channel = 64
+    mc.generator.upsample_rates = [4, 5]
+    mc.generator.gen_istft_n_fft = 60
+    mc.generator.gen_istft_hop_size = 15
+    models = build_model(mc)
+    texts, lengths = _texts()
+    align = _alignment()
+    pitch = jnp.full((B, FRAMES), 120.0)
+    energy = jnp.zeros((B, FRAMES))
+    voiced = jnp.ones((B, FRAMES))
+    style = jnp.zeros((B, mc.style_dim))
+    rng = jax.random.PRNGKey(0)
+    params = models["speech_predictor"].init(
+        {"params": rng}, texts, lengths, align, pitch, energy, voiced, style,
+        pitch, rng=rng,
+    )
+    pred = models["speech_predictor"].apply(
+        params, texts, lengths, align, pitch, energy, voiced, style, pitch,
+        rng=rng,
+    )
+    assert pred.audio.shape == (B, FRAMES * 300)
+    assert pred.magnitude is not None and pred.phase is not None
+    assert np.isfinite(np.asarray(pred.audio)).all()
