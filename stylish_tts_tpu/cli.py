@@ -25,7 +25,28 @@ from .config import (
 logger = logging.getLogger("stylish_tts_tpu")
 
 
+def _setup_jax_cache():
+    """Persistent XLA compilation cache: CLI invocations share compiled
+    programs instead of paying the multi-minute compile per process.
+    Override dir with STYLISH_TPU_CACHE; disable with =0."""
+    cache_dir = os.environ.get(
+        "STYLISH_TPU_CACHE",
+        osp.join(osp.expanduser("~"), ".cache", "stylish_tts_tpu", "xla"),
+    )
+    if cache_dir == "0":
+        return
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as exc:
+        logger.debug("compilation cache unavailable: %s", exc)
+
+
 def _load_configs(config_path, model_config_path):
+    _setup_jax_cache()
     config = load_config_yaml(config_path) if config_path else Config()
     if model_config_path:
         model_config = load_model_config_yaml(model_config_path)
