@@ -385,6 +385,26 @@ def make_acoustic_step(ctx: StepContext):
                     feats_t, feats_p, audio_t, pred.audio,
                 ),
             }
+            if pred.magnitude is not None:
+                # ringformer emits its head's log-mag/phase: MagPhase loss
+                # vs the GT STFT at the head resolution (reference
+                # losses.py:94-163, built for this generator family)
+                from ..dsp import stft as stft_lib
+
+                gmc = ctx.mc.generator
+                t_real, t_imag = stft_lib.stft(
+                    audio_t, gmc.gen_istft_n_fft, gmc.gen_istft_hop_size,
+                    gmc.gen_istft_n_fft,
+                )
+                frames_mp = min(pred.magnitude.shape[-1], t_real.shape[-1])
+                metrics.update(
+                    L.magphase_loss(
+                        pred.magnitude[:, :, :frames_mp],
+                        pred.phase[:, :, :frames_mp],
+                        t_real[:, :, :frames_mp],
+                        t_imag[:, :, :frames_mp],
+                    )
+                )
             if ctx.slm_loss_fn is not None:
                 metrics["slm"] = ctx.slm_loss_fn(audio_t, pred.audio)
             total = L.backwards_loss(metrics, ctx.weights)

@@ -169,3 +169,25 @@ def test_duration_step(setup):
         new_state.params["duration_predictor"],
     )
     assert _changed(state.params["dur_disc"], new_state.params["dur_disc"])
+
+
+def test_acoustic_step_ringformer():
+    mc = small_model_config()
+    mc.generator.type = "ringformer"
+    mc.generator.upsample_initial_channel = 64
+    models = build_model(mc)
+    rng = jax.random.PRNGKey(0)
+    params = init_all_params(models, mc, rng, frames=F, text_len=L, batch=1)
+    state = create_train_state(params, mc.text_encoder.tokens + 1)
+    cfg = Config()
+    ctx = StepContext(
+        models, mc, cfg.loss_weight.model_dump(), NormalizationStats(),
+        stage_steps=100, base_lr=1e-4,
+    )
+    step = jit_data_parallel_step(
+        make_acoustic_step(ctx), make_mesh(), donate_state=False
+    )
+    new_state, metrics = step(state, _batch())
+    for key in ("mel", "multi_phase", "generator", "discriminator",
+                "mag", "phase"):
+        assert np.isfinite(float(metrics[key])), key
