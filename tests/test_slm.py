@@ -42,7 +42,8 @@ def test_wavlm_hidden_states_match_torch(torch_model):
         assert a.shape == b.shape, (i, a.shape, b.shape)
         scale = np.abs(b).mean() + 1e-6
         err = np.abs(a - b).max() / scale
-        assert err < 5e-2, f"layer {i}: rel err {err}"
+        # measured ~2.3e-3 max rel (fp32 accumulation-order differences)
+        assert err < 1e-2, f"layer {i}: rel err {err}"
 
 
 def test_resampler_tone():
