@@ -6,7 +6,10 @@ XLA_FLAGS=--xla_force_host_platform_device_count (SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient env points at a TPU (the suite is
+# designed for the virtual 8-device mesh; running it through a remote
+# TPU tunnel is slow and numerically looser).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

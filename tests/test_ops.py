@@ -160,7 +160,7 @@ def test_duration_to_alignment_properties():
     align = np.asarray(dp.duration_to_alignment(durs, total))
     assert align.shape == (1, 4, 10)
     # each frame's token distribution sums to 1 (softmax over tokens)
-    np.testing.assert_allclose(align.sum(axis=1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(align.sum(axis=1), 1.0, atol=2e-4)
     # mass for early frames concentrates on early tokens
     assert align[0, 0, 0] > align[0, 2, 0]
     assert align[0, 1, 4] > align[0, 0, 4]
