@@ -134,6 +134,10 @@ class GeneratorConfig(BaseModel):
     # rematerialize the audio-rate ConvNeXt stacks in backward
     # (jax.checkpoint): ~2x larger training batches for ~15% extra FLOPs
     remat: bool = False
+    # "group" (TPU-first GroupNorm training norm) or "affine" (frozen
+    # per-channel scale/bias = folded torch BatchNorm eval stats; set by
+    # convert/torch_import.py when importing reference checkpoints)
+    norm_mode: str = "group"
     # ringformer variant fields (reference config_loader.py:213 schema;
     # the reference keeps its ringformer YAML block commented out)
     resblock_kernel_sizes: List[int] = [3, 7, 11]
@@ -203,6 +207,10 @@ class ModelConfig(BaseModel):
     coarse_multiplier: int = 1
     style_dim: int = 64
     inter_dim: int = 128
+    # True when parameters were imported from a trained torch reference
+    # checkpoint: BatchNorm sites become frozen affine (exact eval-mode
+    # function) and spectral-norm kernels are taken as already folded.
+    imported_weights: bool = False
 
     text_aligner: TextAlignerConfig = TextAlignerConfig()
     decoder: DecoderConfig = DecoderConfig()

@@ -56,6 +56,36 @@ def spectral_normalize(kernel: jnp.ndarray, n_iter: int = 3) -> jnp.ndarray:
     return kernel / sigma
 
 
+class Norm1d(nn.Module):
+    """Feature-axis norm with two modes.
+
+    * ``group``  — GroupNorm(1) over (spatial, features): the TPU-first
+      training norm replacing the reference's BatchNorm (batch-independent,
+      no mutable running stats inside jit).
+    * ``affine`` — frozen per-channel scale/bias.  Exactly BatchNorm in
+      eval mode with folded running stats; used when importing trained
+      torch checkpoints (see convert/torch_import.py) so the computed
+      function matches the reference bit-for-bit.
+    """
+
+    channels: int
+    mode: str = "group"  # "group" | "affine"
+    use_scale: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.mode == "group":
+            return nn.GroupNorm(
+                num_groups=1, use_scale=self.use_scale, use_bias=self.use_bias,
+                name="norm",
+            )(x)
+        assert self.mode == "affine", self.mode
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        return x * scale + bias
+
+
 class StyleFiLM(nn.Module):
     """style vector -> (1+gamma, beta) modulation of the last axis."""
 

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .common import AdaptiveLayerNorm, Conv1d, sequence_mask
+from .common import AdaptiveLayerNorm, Conv1d, Norm1d, sequence_mask
 
 
 def swish(x):
@@ -68,6 +68,7 @@ class ConformerConvModule(nn.Module):
     expansion_factor: int = 2
     kernel_size: int = 31
     dropout: float = 0.0
+    norm_mode: str = "group"  # "affine" when running imported torch weights
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
@@ -76,7 +77,7 @@ class ConformerConvModule(nn.Module):
         gate_in, gate = jnp.split(x, 2, axis=-1)
         x = gate_in * jax.nn.sigmoid(gate)  # GLU
         x = Conv1d(inner, self.kernel_size, groups=inner, name="dwconv")(x)
-        x = nn.GroupNorm(num_groups=1, name="norm")(x)
+        x = Norm1d(inner, mode=self.norm_mode, name="bn")(x)
         x = swish(x)
         x = nn.Dense(self.dim, name="pw_out")(x)
         return nn.Dropout(self.dropout, deterministic=not training)(x)
@@ -92,6 +93,7 @@ class ConformerBlock(nn.Module):
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     conv_dropout: float = 0.0
+    norm_mode: str = "group"
 
     @nn.compact
     def __call__(self, x, style, mask=None, *, training: bool = False):
@@ -114,6 +116,7 @@ class ConformerBlock(nn.Module):
             self.conv_expansion_factor,
             self.conv_kernel_size,
             self.conv_dropout,
+            norm_mode=self.norm_mode,
             name="conv",
         )(h, training=training)
         x = h + x
@@ -137,6 +140,7 @@ class Conformer(nn.Module):
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     conv_dropout: float = 0.0
+    norm_mode: str = "group"
 
     @nn.compact
     def __call__(self, x, style, lengths=None, *, training: bool = False):
@@ -154,6 +158,7 @@ class Conformer(nn.Module):
                 self.attn_dropout,
                 self.ff_dropout,
                 self.conv_dropout,
+                norm_mode=self.norm_mode,
                 name=f"block_{i}",
             )(x, style, mask, training=training)
         return x

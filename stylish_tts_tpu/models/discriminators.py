@@ -23,30 +23,36 @@ from typing import List
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .common import Conv1d
+from .common import Conv1d, Norm1d
 
 
 class SpecDiscriminator(nn.Module):
-    """Input (B, 1, freq, frames) |FFT| magnitude -> 5 score tensors."""
+    """Input (B, 1, freq, frames) |FFT| magnitude -> 5 score tensors.
+
+    Padding is explicit torch-style (1,1)/(4,4) so strided convs align
+    with the reference (XLA "SAME" splits stride-2 padding differently).
+    """
 
     @nn.compact
     def __call__(self, y) -> List[jnp.ndarray]:
         x = jnp.moveaxis(y, 1, -1)  # NHWC: (B, freq, frames, 1)
         results = []
         specs = [
-            dict(kernel=(3, 9), strides=(1, 1)),
-            dict(kernel=(3, 9), strides=(1, 2)),
-            dict(kernel=(3, 9), strides=(1, 2)),
-            dict(kernel=(3, 9), strides=(1, 2)),
-            dict(kernel=(3, 3), strides=(1, 1)),
+            dict(kernel=(3, 9), strides=(1, 1), pad=((1, 1), (4, 4))),
+            dict(kernel=(3, 9), strides=(1, 2), pad=((1, 1), (4, 4))),
+            dict(kernel=(3, 9), strides=(1, 2), pad=((1, 1), (4, 4))),
+            dict(kernel=(3, 9), strides=(1, 2), pad=((1, 1), (4, 4))),
+            dict(kernel=(3, 3), strides=(1, 1), pad=((1, 1), (1, 1))),
         ]
         for i, spec in enumerate(specs):
             x = nn.Conv(
-                32, spec["kernel"], strides=spec["strides"], padding="SAME",
+                32, spec["kernel"], strides=spec["strides"], padding=spec["pad"],
                 name=f"conv_{i}",
             )(x)
             x = nn.leaky_relu(x, 0.1)
-            out = nn.Conv(1, (3, 3), padding="SAME", name=f"out_{i}")(x)
+            out = nn.Conv(
+                1, (3, 3), padding=((1, 1), (1, 1)), name=f"out_{i}"
+            )(x)
             results.append(out.reshape(out.shape[0], -1))
         return results
 
@@ -57,6 +63,7 @@ class ContextFreeBlock(nn.Module):
     stride: int = 1
     groups: int = 1
     use_bias: bool = False
+    norm_mode: str = "group"
 
     @nn.compact
     def __call__(self, x):
@@ -69,7 +76,7 @@ class ContextFreeBlock(nn.Module):
             pad=self.kernel // 2,
             name="conv",
         )(x)
-        x = nn.GroupNorm(num_groups=1, name="norm")(x)
+        x = Norm1d(self.dim_out, mode=self.norm_mode, name="norm")(x)
         return nn.gelu(x)
 
 
@@ -77,6 +84,7 @@ class ContextFreeDiscriminator(nn.Module):
     """Raw audio (B, T) -> one score tensor over 1024-sample windows."""
 
     dim: int = 64
+    norm_mode: str = "group"
 
     @nn.compact
     def __call__(self, audio) -> List[jnp.ndarray]:
@@ -89,26 +97,31 @@ class ContextFreeDiscriminator(nn.Module):
         x = x.reshape(b * n_win, win, 1)
 
         d = self.dim
-        x = ContextFreeBlock(d, 11, stride=4, name="conv0")(x)
-        x = ContextFreeBlock(d * 2, 11, stride=4, name="conv1")(x)
-        x = ContextFreeBlock(d * 4, 7, stride=2, name="conv2")(x)
-        x = ContextFreeBlock(d * 4, 5, stride=2, name="conv3")(x)
+        nm = self.norm_mode
+        x = ContextFreeBlock(d, 11, stride=4, norm_mode=nm, name="conv0")(x)
+        x = ContextFreeBlock(d * 2, 11, stride=4, norm_mode=nm, name="conv1")(x)
+        x = ContextFreeBlock(d * 4, 7, stride=2, norm_mode=nm, name="conv2")(x)
+        x = ContextFreeBlock(d * 4, 5, stride=2, norm_mode=nm, name="conv3")(x)
 
         # SE attention over channels
         attn = jnp.mean(x, axis=1, keepdims=True)
         attn = nn.Dense(d * 4, name="attn_fc")(attn)
         x = x * nn.sigmoid(attn)
 
-        temporal = ContextFreeBlock(d * 4, 7, groups=8, use_bias=True, name="t0")(x)
-        temporal = ContextFreeBlock(d * 4, 3, groups=8, use_bias=True, name="t1")(
-            temporal
-        )
-        spectral = ContextFreeBlock(d * 12, 1, groups=8, use_bias=True, name="s0")(x)
-        spectral = ContextFreeBlock(d * 4, 1, groups=8, use_bias=True, name="s1")(
-            spectral
-        )
+        temporal = ContextFreeBlock(
+            d * 4, 7, groups=8, use_bias=True, norm_mode=nm, name="t0"
+        )(x)
+        temporal = ContextFreeBlock(
+            d * 4, 3, groups=8, use_bias=True, norm_mode=nm, name="t1"
+        )(temporal)
+        spectral = ContextFreeBlock(
+            d * 12, 1, groups=8, use_bias=True, norm_mode=nm, name="s0"
+        )(x)
+        spectral = ContextFreeBlock(
+            d * 4, 1, groups=8, use_bias=True, norm_mode=nm, name="s1"
+        )(spectral)
         x = jnp.concatenate([temporal, spectral], axis=-1)
-        x = ContextFreeBlock(d * 4, 1, use_bias=True, name="fusion")(x)
+        x = ContextFreeBlock(d * 4, 1, use_bias=True, norm_mode=nm, name="fusion")(x)
         x = nn.Dense(d * 8, name="last0")(x)
         x = nn.relu(x)
         x = nn.Dense(1, name="last1")(x)

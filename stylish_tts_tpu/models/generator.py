@@ -173,10 +173,17 @@ class Generator(nn.Module):
             x = ConvNeXt(dim, dim * 4, name=f"amp_convnext_{i}")(x, style)
         for i, stride in enumerate(self.upsample_rates):
             out_dim = dim // 2
-            # dense channel expansion + reshape == sub-pixel upsample (MXU)
+            # dense channel expansion + reshape == sub-pixel upsample (MXU).
+            # Channel grouping is c-major (channel index = c*stride + s) to
+            # match the reference rearrange "b (c s) t -> b c (t s)"
+            # (generator.py:747) for weight-ported parity.
             h = Conv1d(out_dim * stride, 11, name=f"upconv_{i}")(x)
             b, t, _ = h.shape
-            x = h.reshape(b, t, stride, out_dim).reshape(b, t * stride, out_dim)
+            x = (
+                h.reshape(b, t, out_dim, stride)
+                .swapaxes(2, 3)
+                .reshape(b, t * stride, out_dim)
+            )
             x = ConvNeXt(out_dim, out_dim * 4, name=f"upblock_{i}")(
                 x, style
             )
@@ -266,6 +273,7 @@ class MultiGenerator(nn.Module):
             attn_dropout=0.2,
             ff_dropout=0.2,
             conv_dropout=0.2,
+            norm_mode=self.config.norm_mode,
             name="amp_conformer",
         )(x, style, training=training)
 

@@ -49,6 +49,12 @@ DISCRIMINATOR_NAMES = ["mrd0", "mrd1", "mrd2", "disc", "pitch_disc", "dur_disc"]
 
 def build_model(model_config: ModelConfig) -> Dict[str, nn.Module]:
     mc = model_config
+    # Imported torch checkpoints run BatchNorm sites as frozen affine and
+    # take spectral-norm kernels as pre-folded (see convert/torch_import.py).
+    norm_mode = "affine" if mc.imported_weights else "group"
+    sn = not mc.imported_weights
+    if mc.imported_weights:
+        mc.generator.norm_mode = "affine"
     # generator.remat also remats the audio/spec discriminators: their
     # wide fp-padded activations dominate HBM in the adversarial phase
     Spec = nn.remat(SpecDiscriminator) if mc.generator.remat else SpecDiscriminator
@@ -61,6 +67,7 @@ def build_model(model_config: ModelConfig) -> Dict[str, nn.Module]:
         "text_aligner": TextAligner(
             n_mels=mc.text_aligner.n_mels,
             n_tokens=mc.text_encoder.tokens,
+            norm_mode=norm_mode,
         ),
         "duration_predictor": DurationPredictor(
             style_dim=mc.style_dim,
@@ -76,7 +83,7 @@ def build_model(model_config: ModelConfig) -> Dict[str, nn.Module]:
             pe_config=mc.pitch_energy_predictor,
         ),
         "speech_predictor": SpeechPredictor(model_config=mc),
-        "disc": CtxFree(),
+        "disc": CtxFree(norm_mode=norm_mode),
         "mrd0": Spec(),
         "mrd1": Spec(),
         "mrd2": Spec(),
@@ -85,6 +92,7 @@ def build_model(model_config: ModelConfig) -> Dict[str, nn.Module]:
             style_dim=mc.style_dim,
             max_conv_dim=mc.style_encoder.max_channels,
             skip_last_downsample=mc.style_encoder.skip_downsample,
+            sn=sn,
         ),
         "pe_style_encoder": PitchStyleEncoder(
             dim_in=mc.style_encoder.n_mels,
@@ -92,12 +100,14 @@ def build_model(model_config: ModelConfig) -> Dict[str, nn.Module]:
             max_conv_dim=mc.style_encoder.max_channels,
             skip_last_downsample=mc.style_encoder.skip_downsample,
             coarse_multiplier=mc.coarse_multiplier,
+            sn=sn,
         ),
         "duration_style_encoder": MelStyleEncoder(
             dim_in=mc.style_encoder.n_mels,
             style_dim=mc.style_dim,
             max_conv_dim=mc.style_encoder.max_channels,
             skip_last_downsample=mc.style_encoder.skip_downsample,
+            sn=sn,
         ),
         "pitch_disc": PitchDiscriminator(dim_hidden=64, kernel=21),
         "dur_disc": PitchDiscriminator(dim_hidden=64, kernel=5),

@@ -25,6 +25,7 @@ class SNConv2d(nn.Module):
     padding: str | tuple = "SAME"
     groups: int = 1
     use_bias: bool = True
+    sn: bool = True  # False for imported torch weights (already folded)
 
     @nn.compact
     def __call__(self, x):
@@ -34,7 +35,8 @@ class SNConv2d(nn.Module):
             nn.initializers.lecun_normal(),
             self.kernel + (x.shape[-1] // self.groups, self.features),
         )
-        kernel = spectral_normalize(kernel)
+        if self.sn:
+            kernel = spectral_normalize(kernel)
         bias = (
             self.param("bias", nn.initializers.zeros, (self.features,))
             if self.use_bias
@@ -52,35 +54,56 @@ class SNConv2d(nn.Module):
         ) + (bias if bias is not None else 0.0)
 
 
+def _torch_avg_pool_half(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact reference DownSample('half') (mel_style_encoder.py:48-61):
+    replicate-pad the frame axis (W) to even, then 2x2 non-overlapping
+    mean; an odd height row is dropped (torch avg_pool2d floor)."""
+    b, h, w, c = x.shape
+    if w % 2 != 0:
+        x = jnp.concatenate([x, x[:, :, -1:, :]], axis=2)
+        w += 1
+    if h % 2 != 0:
+        x = x[:, : h - 1]
+        h -= 1
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.mean(axis=(2, 4))
+
+
 class ResBlk2d(nn.Module):
     """Downsampling residual block (reference mel_style_encoder.py:69-118)."""
 
     dim_in: int
     dim_out: int
     downsample: str = "half"  # "half" or "none"
+    sn: bool = True
 
     @nn.compact
     def __call__(self, x):
         # shortcut
         sc = x
         if self.dim_in != self.dim_out:
-            sc = SNConv2d(self.dim_out, (1, 1), use_bias=False, name="conv1x1")(sc)
+            sc = SNConv2d(
+                self.dim_out, (1, 1), use_bias=False, sn=self.sn, name="conv1x1"
+            )(sc)
         if self.downsample == "half":
-            sc = nn.avg_pool(sc, (2, 2), strides=(2, 2), padding="SAME")
+            sc = _torch_avg_pool_half(sc)
         # residual
         h = nn.leaky_relu(x, 0.2)
-        h = SNConv2d(self.dim_in, (3, 3), name="conv1")(h)
+        h = SNConv2d(self.dim_in, (3, 3), sn=self.sn, name="conv1")(h)
         if self.downsample == "half":
-            # learned strided depthwise downsample
+            # learned strided depthwise downsample; explicit (1,1) padding
+            # to align windows with torch Conv2d(stride=2, padding=1)
             h = SNConv2d(
                 self.dim_in,
                 (3, 3),
                 strides=(2, 2),
+                padding=(1, 1),
                 groups=self.dim_in,
+                sn=self.sn,
                 name="down",
             )(h)
         h = nn.leaky_relu(h, 0.2)
-        h = SNConv2d(self.dim_out, (3, 3), name="conv2")(h)
+        h = SNConv2d(self.dim_out, (3, 3), sn=self.sn, name="conv2")(h)
         return (sc + h) / jnp.sqrt(2.0).astype(x.dtype)
 
 
@@ -89,19 +112,20 @@ class MelStyleEncoderCore(nn.Module):
     style_dim: int
     max_conv_dim: int
     skip_last_downsample: bool
+    sn: bool = True
 
     @nn.compact
     def __call__(self, x):
         """x: (B, mel, frames, 1) -> (B, style_dim)."""
-        h = SNConv2d(self.dim_in, (3, 3), name="stem")(x)
+        h = SNConv2d(self.dim_in, (3, 3), sn=self.sn, name="stem")(x)
         dim_in = self.dim_in
         for i in range(4):
             dim_out = min(dim_in * 2, self.max_conv_dim)
             down = "none" if (i == 3 and self.skip_last_downsample) else "half"
-            h = ResBlk2d(dim_in, dim_out, down, name=f"res_{i}")(h)
+            h = ResBlk2d(dim_in, dim_out, down, sn=self.sn, name=f"res_{i}")(h)
             dim_in = dim_out
         h = nn.leaky_relu(h, 0.2)
-        h = SNConv2d(dim_in, (5, 5), padding="VALID", name="post")(h)
+        h = SNConv2d(dim_in, (5, 5), padding="VALID", sn=self.sn, name="post")(h)
         h = jnp.mean(h, axis=(1, 2))  # global average pool
         h = nn.leaky_relu(h, 0.2)
         return nn.Dense(self.style_dim, name="out")(h)
@@ -114,13 +138,14 @@ class MelStyleEncoder(nn.Module):
     style_dim: int = 64
     max_conv_dim: int = 384
     skip_last_downsample: bool = True
+    sn: bool = True
 
     @nn.compact
     def __call__(self, style_mel):
         x = style_mel[..., None]  # (B, mel, frames, 1)
         return MelStyleEncoderCore(
             self.dim_in, self.style_dim, self.max_conv_dim, self.skip_last_downsample,
-            name="core",
+            sn=self.sn, name="core",
         )(x)
 
 
@@ -132,24 +157,30 @@ class PitchStyleEncoder(nn.Module):
     max_conv_dim: int = 384
     skip_last_downsample: bool = True
     coarse_multiplier: int = 1
+    sn: bool = True
 
     @nn.compact
     def __call__(self, style_mel, pitch, energy):
         target = pitch.shape[-1] // self.coarse_multiplier
-        pitch_c = jax.image.resize(pitch, (pitch.shape[0], target), "linear")
-        energy_c = jax.image.resize(energy, (energy.shape[0], target), "linear")
+        pitch_c = jax.image.resize(pitch, (pitch.shape[0], target), "linear", antialias=False)
+        energy_c = jax.image.resize(energy, (energy.shape[0], target), "linear", antialias=False)
         # match the style-mel frame axis
         frames = style_mel.shape[-1]
-        pitch_c = jax.image.resize(pitch_c, (pitch.shape[0], frames), "linear")
-        energy_c = jax.image.resize(energy_c, (energy.shape[0], frames), "linear")
+        pitch_c = jax.image.resize(pitch_c, (pitch.shape[0], frames), "linear", antialias=False)
+        energy_c = jax.image.resize(energy_c, (energy.shape[0], frames), "linear", antialias=False)
         x = jnp.concatenate(
             [style_mel, pitch_c[:, None, :], energy_c[:, None, :]], axis=1
         )
-        # 1x1 preconv back to dim_in rows, then the shared 2D core
+        # 1x1 preconv back to dim_in rows.  The reference preconv is
+        # weight_norm(Conv1d(dim_in+2, dim_in, kernel=1, padding=1))
+        # (mel_style_encoder.py:166) — kernel 1 with padding 1 GROWS the
+        # frame axis by 2 (the edge columns are bias-only); reproduced
+        # here by zero-padding frames before the pointwise Dense.
         x = jnp.moveaxis(x, 1, 2)  # (B, frames, mel+2)
+        x = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
         x = nn.Dense(self.dim_in, name="preconv")(x)
-        x = jnp.moveaxis(x, 1, 2)[..., None]  # (B, mel, frames, 1)
+        x = jnp.moveaxis(x, 1, 2)[..., None]  # (B, mel, frames+2, 1)
         return MelStyleEncoderCore(
             self.dim_in, self.style_dim, self.max_conv_dim, self.skip_last_downsample,
-            name="core",
+            sn=self.sn, name="core",
         )(x)

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from flax import linen as nn
 
-from .common import Conv1d, sequence_mask
+from .common import Conv1d, Norm1d, sequence_mask
 
 
 class TextAligner(nn.Module):
@@ -22,6 +22,7 @@ class TextAligner(nn.Module):
     n_tokens: int = 178
     hidden_dim: int = 640
     dropout: float = 0.1
+    norm_mode: str = "group"  # "affine" when running imported torch weights
 
     @nn.compact
     def __call__(self, mel, mel_lengths, *, training: bool = False):
@@ -32,18 +33,22 @@ class TextAligner(nn.Module):
             x = x * mask
             x = Conv1d(self.hidden_dim, kernel, name=f"tdnn_{i}")(x)
             x = nn.relu(x)
-            x = nn.GroupNorm(num_groups=1, use_bias=False, use_scale=False,
-                             name=f"tdnn_norm_{i}")(x)
+            # reference BatchNorm1d(affine=False) (text_aligner.py:168)
+            x = Norm1d(
+                self.hidden_dim,
+                mode=self.norm_mode,
+                use_scale=self.norm_mode == "affine",
+                use_bias=self.norm_mode == "affine",
+                name=f"tdnn_norm_{i}",
+            )(x)
             x = nn.Dropout(self.dropout, deterministic=not training)(x)
-        # 5-layer skip FFN
+        # 5-layer FFN with ONE outer skip (reference Ffn text_aligner.py:245-274:
+        # sequential Linear+ReLU+Dropout x5, then x_out = ffn(x) + x)
         h = x
         for i in range(5):
-            h_in = h
             h = nn.Dense(self.hidden_dim, name=f"ffn_{i}")(h)
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=not training)(h)
-            if i > 0:
-                h = h + h_in
         x = x + h  # outer skip
         logits = nn.Dense(self.n_tokens + 1, name="out")(x)
         return nn.log_softmax(logits, axis=-1)
