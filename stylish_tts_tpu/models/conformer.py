@@ -58,6 +58,11 @@ class ConformerAttention(nn.Module):
             scores = jnp.where(keep > 0, scores, jnp.finfo(scores.dtype).min)
         attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhts,bshd->bthd", attn, v)
+        if mask is not None:
+            # torch SDPA returns 0 for fully-masked (padded) query rows;
+            # match it so padding never leaks into valid rows via the
+            # depthwise conv module.
+            out = out * mask[:, :, None, None].astype(out.dtype)
         out = out.reshape(out.shape[0], out.shape[1], inner)
         out = nn.Dense(self.dim, name="to_out")(out)
         return nn.Dropout(self.dropout, deterministic=not training)(out)
@@ -103,7 +108,9 @@ class ConformerBlock(nn.Module):
         )
         x_ff1 = 0.5 * h + x
 
-        h = AdaptiveLayerNorm(self.dim, name="attn_norm")(x_ff1, style)
+        # NOTE: the reference attends the ORIGINAL x, not x_ff1
+        # (conformer.py:243-246: x = self.attn(x, ...); x = x + x_ff1)
+        h = AdaptiveLayerNorm(self.dim, name="attn_norm")(x, style)
         h = ConformerAttention(
             self.dim, self.heads, self.dim_head, self.attn_dropout, name="attn"
         )(h, mask, training=training)

@@ -29,7 +29,7 @@ class BasicConvNeXtBlock(nn.Module):
         x = Conv1d(self.dim, self.kernel, groups=self.dim, name="dwconv")(x)
         x = nn.LayerNorm(epsilon=1e-6)(x)
         x = nn.Dense(self.intermediate_dim, name="pwconv1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = GRN(self.intermediate_dim)(x)
         x = nn.Dense(self.dim, name="pwconv2")(x)
         return res + x
@@ -69,7 +69,7 @@ class AdaptiveConvNeXtBlock(nn.Module):
         x = Conv1d(self.dim, 7, groups=self.dim, name="dwconv")(x)
         x = AdaptiveLayerNorm(self.dim, eps=1e-6, name="norm")(x, style)
         x = nn.Dense(self.intermediate_dim, name="pwconv1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = GRN(self.intermediate_dim)(x)
         x = nn.Dense(self.dim, name="pwconv2")(x)
         x = DropPath(self.dropout)(x, training=training)

@@ -77,7 +77,7 @@ class ContextFreeBlock(nn.Module):
             name="conv",
         )(x)
         x = Norm1d(self.dim_out, mode=self.norm_mode, name="norm")(x)
-        return nn.gelu(x)
+        return nn.gelu(x, approximate=False)
 
 
 class ContextFreeDiscriminator(nn.Module):

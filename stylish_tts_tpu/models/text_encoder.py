@@ -79,10 +79,14 @@ class RoPEMultiHeadAttention(nn.Module):
             "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
         ) / math.sqrt(head_dim)
         if mask is not None:
-            # mask: (B, T, S) or (B, 1, T, S) keep-mask
+            # mask: (B, T, S) or (B, 1, T, S) keep-mask.  ADDITIVE -1e4 like
+            # the reference (text_encoder.py:258-268) — for fully-masked
+            # (padded) rows this is softmax-shift-invariant, so pad rows get
+            # softmax(raw scores), which can leak into valid frames through
+            # later convs; replace-style masking would diverge from torch.
             if mask.ndim == 3:
                 mask = mask[:, None]
-            scores = jnp.where(mask > 0, scores, -1e4)
+            scores = scores - 1e4 * (1.0 - (mask > 0).astype(scores.dtype))
         attn = jax.nn.softmax(scores, axis=-1)
         attn = nn.Dropout(self.dropout, deterministic=not training)(attn)
         out = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v)

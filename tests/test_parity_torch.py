@@ -174,3 +174,191 @@ def test_text_aligner_parity():
     # identically, but keep it strict anyway)
     for b, L in enumerate(lengths):
         assert max_rel(got[b, :L], want[b, :L]) < 1e-4
+
+
+# ------------------------------------------------------------ text encoder
+
+
+class _NS:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def _text_cfgs():
+    """Small matched (torch namespace, flax TextEncoderConfig) pair."""
+    from stylish_tts_tpu.config import TextEncoderConfig
+
+    kw = dict(tokens=20, hidden_dim=16, filter_channels=32, heads=2,
+              layers=2, kernel_size=3, dropout=0.0)
+    return _NS(**kw), TextEncoderConfig(**kw)
+
+
+def _text_inputs(B=2, L=9):
+    texts = np.random.randint(1, 20, (B, L)).astype(np.int64)
+    lengths = np.array([L, L - 3], np.int64)
+    return texts, lengths
+
+
+def test_text_encoder_parity():
+    ref = ref_module("text_encoder")
+    tcfg, fcfg = _text_cfgs()
+    tm = ref.TextEncoder(inter_dim=12, config=tcfg)
+    sd = fold_state_dict(tm.state_dict())
+    params = {"params": ti.convert_text_encoder(sd, n_layers=tcfg.layers)}
+
+    from stylish_tts_tpu.models.text_encoder import TextEncoder
+
+    fm = TextEncoder(inter_dim=12, config=fcfg)
+    texts, lengths = _text_inputs()
+    mu_t, hid_t, _ = run_torch(
+        tm, torch.from_numpy(texts), torch.from_numpy(lengths)
+    )
+    mu, hid, _ = fm.apply(
+        params, jnp.asarray(texts), jnp.asarray(lengths)
+    )
+    # reference returns channels-first (B, C, T)
+    assert max_rel(mu, mu_t.numpy().transpose(0, 2, 1)) < 1e-4
+    assert max_rel(hid, hid_t.numpy().transpose(0, 2, 1)) < 1e-4
+
+
+# ----------------------------------------------------------------- decoder
+
+
+def test_decoder_parity():
+    ref = ref_module("decoder")
+    tm = ref.Decoder(dim_in=12, style_dim=8, dim_out=10, hidden_dim=16,
+                     residual_dim=6)
+    sd = fold_state_dict(tm.state_dict())
+    params = {"params": ti.convert_decoder(sd)}
+
+    from stylish_tts_tpu.models.decoder import Decoder
+
+    fm = Decoder(dim_in=12, style_dim=8, hidden_dim=16, residual_dim=6)
+    B, T = 2, 25
+    asr = np.random.randn(B, 12, T).astype(np.float32)
+    f0 = np.random.randn(B, T).astype(np.float32) * 50
+    n = np.random.randn(B, T).astype(np.float32)
+    v = (np.random.rand(B, T) > 0.3).astype(np.float32)
+    style = np.random.randn(B, 8).astype(np.float32)
+    want, _ = run_torch(
+        tm, torch.from_numpy(asr), torch.from_numpy(f0), torch.from_numpy(n),
+        torch.from_numpy(style), torch.from_numpy(v),
+    )
+    got, _ = fm.apply(
+        params, jnp.asarray(asr.transpose(0, 2, 1)), jnp.asarray(f0),
+        jnp.asarray(n), jnp.asarray(style), jnp.asarray(v),
+    )
+    assert max_rel(got, want.numpy().transpose(0, 2, 1)) < 1e-4
+
+
+# --------------------------------------------------------------- conformer
+
+
+def test_conformer_parity():
+    ref = ref_module("conformer")
+    tm = ref.Conformer(16, style_dim=8, depth=2, dim_head=8, heads=2,
+                       conv_kernel_size=7)
+    # non-trivial BatchNorm running stats
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, torch.nn.BatchNorm1d):
+                mod.running_mean.normal_(0.0, 0.5)
+                mod.running_var.uniform_(0.5, 2.0)
+    sd = fold_state_dict(tm.state_dict())
+    params = {"params": {f"block_{i}": ti.conformer_block(sd, f"layers.{i}")
+                         for i in range(2)}}
+
+    from stylish_tts_tpu.models.conformer import Conformer
+
+    fm = Conformer(dim=16, depth=2, dim_head=8, heads=2, conv_kernel_size=7,
+                   norm_mode="affine")
+    B, T = 2, 13
+    x = np.random.randn(B, T, 16).astype(np.float32)
+    style = np.random.randn(B, 8).astype(np.float32)
+    lengths = np.array([13, 9], np.int64)
+    want = run_torch(
+        tm, torch.from_numpy(x), torch.from_numpy(style),
+        torch.from_numpy(lengths),
+    ).numpy()
+    got = np.asarray(fm.apply(
+        params, jnp.asarray(x), jnp.asarray(style), jnp.asarray(lengths)
+    ))
+    for b, L in enumerate(lengths):
+        assert max_rel(got[b, :L], want[b, :L]) < 1e-4
+
+
+# -------------------------------------------------- pitch/energy predictor
+
+
+def test_pitch_energy_predictor_parity():
+    ref = ref_module("pitch_energy_predictor")
+    tcfg, fcfg = _text_cfgs()
+    tm = ref.PitchEnergyPredictor(
+        style_dim=8, inter_dim=16, text_config=tcfg,
+        duration_config=None, pitch_energy_config=_NS(dropout=0.0),
+    )
+    sd = fold_state_dict(tm.state_dict())
+    params = {"params": ti.convert_pitch_energy_predictor(sd, tcfg.layers)}
+
+    from stylish_tts_tpu.config import PitchEnergyPredictorConfig
+    from stylish_tts_tpu.models.pitch_energy_predictor import PitchEnergyPredictor
+
+    fm = PitchEnergyPredictor(
+        style_dim=8, inter_dim=16, text_config=fcfg, duration_config=None,
+        pe_config=PitchEnergyPredictorConfig(inter_dim=16, dropout=0.0),
+    )
+    B, L, F = 2, 9, 20
+    texts, lengths = _text_inputs(B, L)
+    align = np.zeros((B, L, F), np.float32)
+    for b in range(B):
+        for f in range(F):
+            align[b, min(f * L // F, L - 1), f] = 1.0
+    style = np.random.randn(B, 8).astype(np.float32)
+    f0_t, n_t = run_torch(
+        tm, torch.from_numpy(texts), torch.from_numpy(lengths),
+        torch.from_numpy(align), torch.from_numpy(style),
+    )
+    f0, n = fm.apply(
+        params, jnp.asarray(texts), jnp.asarray(lengths), jnp.asarray(align),
+        jnp.asarray(style),
+    )
+    assert max_rel(f0, f0_t.numpy()) < 1e-4
+    assert max_rel(n, n_t.numpy()) < 1e-4
+
+
+# ------------------------------------------------------ duration predictor
+
+
+def test_duration_predictor_parity():
+    ref = ref_module("duration_predictor")
+    tcfg, fcfg = _text_cfgs()
+    dur_t = _NS(n_layer=2, last_dropout=0.0, duration_classes=5, dropout=0.0,
+                max_duration=50)
+    # inter_dim=32 keeps cross-attention head_dim >= 4: at head_dim=2 the
+    # reference RoPE degenerates (broadcasts the head dim 2->3), which no
+    # real config hits (model.yml inter_dim=512 -> head_dim 64).
+    tm = ref.DurationPredictor(
+        style_dim=8, inter_dim=32, text_config=tcfg, duration_config=dur_t
+    )
+    sd = fold_state_dict(tm.state_dict())
+    params = {"params": ti.convert_duration_predictor(sd, tcfg.layers, 2)}
+
+    from stylish_tts_tpu.config import DurationPredictorConfig
+    from stylish_tts_tpu.models.duration_predictor import DurationPredictor
+
+    fm = DurationPredictor(
+        style_dim=8, inter_dim=32, text_config=fcfg,
+        duration_config=DurationPredictorConfig(
+            n_layer=2, last_dropout=0.0, duration_classes=5, dropout=0.0
+        ),
+    )
+    texts, lengths = _text_inputs()
+    style = np.random.randn(2, 8).astype(np.float32)
+    want = run_torch(
+        tm, torch.from_numpy(texts), torch.from_numpy(lengths),
+        torch.from_numpy(style),
+    ).numpy()
+    got = np.asarray(fm.apply(
+        params, jnp.asarray(texts), jnp.asarray(lengths), jnp.asarray(style)
+    ))
+    assert max_rel(got, want) < 1e-4
