@@ -62,8 +62,16 @@ def _forward_basis(n_fft: int, win_length: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
-def _inverse_basis(n_fft: int, win_length: int) -> np.ndarray:
-    """(2*freq_bins, 1, n_fft) windowed IDFT conv_transpose kernel."""
+def _inverse_basis(n_fft: int, win_length: int, uniform: bool = False) -> np.ndarray:
+    """(2*freq_bins, 1, n_fft) windowed IDFT conv_transpose kernel.
+
+    ``uniform=False``: proper real-iFFT scaling (symmetric bins doubled,
+    DC/Nyquist once) — pairs with window-envelope normalization for exact
+    torch.istft parity.  ``uniform=True``: every bin scaled 1/n_fft — the
+    reference's conv iSTFT convention (reference stft.py:74-96, which
+    deliberately skips the doubling); required when running imported
+    torch generator weights.
+    """
     freq_bins = n_fft // 2 + 1
     window = hann_window(win_length)
     if win_length < n_fft:
@@ -73,12 +81,15 @@ def _inverse_basis(n_fft: int, win_length: int) -> np.ndarray:
     n = np.arange(n_fft)
     k = np.arange(freq_bins)
     angle = 2.0 * np.pi * np.outer(n, k) / n_fft  # (n_fft, freq)
-    # Doubling for the symmetric (negative-frequency) bins of the real FFT;
-    # DC and Nyquist appear once.
-    scale = np.full(freq_bins, 2.0 / n_fft)
-    scale[0] = 1.0 / n_fft
-    if n_fft % 2 == 0:
-        scale[-1] = 1.0 / n_fft
+    if uniform:
+        scale = np.full(freq_bins, 1.0 / n_fft)
+    else:
+        # Doubling for the symmetric (negative-frequency) bins of the real
+        # FFT; DC and Nyquist appear once.
+        scale = np.full(freq_bins, 2.0 / n_fft)
+        scale[0] = 1.0 / n_fft
+        if n_fft % 2 == 0:
+            scale[-1] = 1.0 / n_fft
     idft_cos = (np.cos(angle) * scale).T  # (freq, n_fft)
     idft_sin = (np.sin(angle) * scale).T
     real_k = (idft_cos * window).astype(np.float32)
@@ -187,6 +198,7 @@ def istft(
     center: bool = True,
     length: int | None = None,
     normalize_window: bool = True,
+    uniform_scale: bool = False,
 ):
     """Inverse STFT via conv_transpose overlap-add.
 
@@ -195,12 +207,15 @@ def istft(
     ``normalize_window=True`` divides by the window sum-of-squares
     envelope (exact reconstruction, like torch.istft).  The reference's
     conv iSTFT skips this (stft.py:138-187) and lets the model learn the
-    envelope; pass False for behavioral parity with the generator head.
+    envelope; pass False (with uniform_scale=True, see _inverse_basis)
+    for behavioral parity with the generator head.
     """
     real = real.astype(jnp.float32)
     imag = imag.astype(jnp.float32)
     spec = jnp.concatenate([real, imag], axis=1)  # (B, 2*freq, frames)
-    kernel = jnp.asarray(_inverse_basis(n_fft, win_length))[:, 0, :]  # (2F, n_fft)
+    kernel = jnp.asarray(
+        _inverse_basis(n_fft, win_length, uniform=uniform_scale)
+    )[:, 0, :]  # (2F, n_fft)
 
     # Frame synthesis as one fp32 MXU matmul, then overlap-add.  The
     # overlap-add itself is done with hop-strided shifts and adds (exact VPU

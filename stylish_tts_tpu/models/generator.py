@@ -61,6 +61,7 @@ class SineSource(nn.Module):
     sine_amp: float = 0.1
     noise_std: float = 0.003
     voiced_threshold: float = 10.0
+    deterministic: bool = False  # zero init phase + noise (parity/golden tests)
 
     @nn.compact
     def __call__(self, f0: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
@@ -76,6 +77,8 @@ class SineSource(nn.Module):
         k_phase, k_noise = jax.random.split(rng)
         rand_ini = jax.random.uniform(k_phase, (b, n_harm))
         rand_ini = rand_ini.at[:, 0].set(0.0)
+        if self.deterministic:
+            rand_ini = jnp.zeros_like(rand_ini)
 
         # integrate at FRAME rate, then linearly upsample the phase
         # (reference generator.py:365-382: interpolate-then-cumsum at the
@@ -94,6 +97,8 @@ class SineSource(nn.Module):
         uv = _linear_resize(uv_frame[:, None, :], source_len)  # (B, 1, T)
         noise_amp = uv * self.noise_std + (1.0 - uv) * self.sine_amp / 3.0
         noise = noise_amp * jax.random.normal(k_noise, sines.shape)
+        if self.deterministic:
+            noise = jnp.zeros_like(noise)
         sines = sines * uv + noise
 
         # merge harmonics: (B, T, n_harm) -> linear -> tanh -> (B, T)
@@ -120,8 +125,14 @@ class Generator(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, mel, style, pitch, voiced, *, rng: jax.Array):
+    def __call__(
+        self, mel, style, pitch, voiced, *, rng: jax.Array, prior=None
+    ):
         """mel: (B, frames, input_dim); pitch/voiced: (B, frames) at frame rate.
+
+        ``prior`` optionally overrides the stochastic harmonic source with a
+        precomputed excitation (B, frames*hop) — used for deterministic
+        export and for golden parity against the torch reference.
 
         Returns audio (B, frames * hop_length) [pre-tanh].
         """
@@ -136,13 +147,24 @@ class Generator(nn.Module):
         )
 
         # ---- harmonic prior (no grad through the source) ----
-        prior = SineSource(
-            sample_rate=self.sample_rate,
-            hop_length=self.hop_length,
-            harmonic_num=8,
-            voiced_threshold=10.0,
-            name="source",
-        )(pitch * voiced, rng)
+        if prior is None:
+            prior = SineSource(
+                sample_rate=self.sample_rate,
+                hop_length=self.hop_length,
+                harmonic_num=8,
+                voiced_threshold=10.0,
+                name="source",
+            )(pitch * voiced, rng)
+        else:
+            # keep the SineSource params in the tree for checkpoint shape
+            # stability even when the prior is injected
+            SineSource(
+                sample_rate=self.sample_rate,
+                hop_length=self.hop_length,
+                harmonic_num=8,
+                voiced_threshold=10.0,
+                name="source",
+            )(pitch * voiced, rng)
         prior = jax.lax.stop_gradient(prior)
         har_mag, har_x, har_y = stft_lib.stft_magnitude_unit_phase(
             prior, head_fft, head_hop, head_fft, center=True, pad_mode="edge"
@@ -236,6 +258,7 @@ class Generator(nn.Module):
             head_fft,
             center=True,
             normalize_window=False,
+            uniform_scale=True,  # reference conv-iSTFT convention (stft.py:78)
         )
         return audio
 
@@ -261,6 +284,7 @@ class MultiGenerator(nn.Module):
         voiced,  # (B, frames)
         rng: jax.Array,
         training: bool = False,
+        prior=None,  # optional precomputed harmonic excitation (B, frames*hop)
     ) -> DecoderPrediction:
         hidden_dim = self.n_fft // 2
         x = Conv1d(
@@ -293,5 +317,5 @@ class MultiGenerator(nn.Module):
             upsample_rates=(3, 5, 5),
             remat=self.config.remat,
             name="basegen",
-        )(x, style, pitch, voiced, rng=rng)
+        )(x, style, pitch, voiced, rng=rng, prior=prior)
         return DecoderPrediction(audio=jnp.tanh(audio))

@@ -34,6 +34,7 @@ class SpeechPredictor(nn.Module):
         *,
         rng: jax.Array,
         training: bool = False,
+        prior=None,  # optional precomputed harmonic excitation
     ) -> DecoderPrediction:
         mc = self.model_config
         text_encoding, _, _ = TextEncoder(
@@ -85,6 +86,7 @@ class SpeechPredictor(nn.Module):
                 config=mc.generator,
                 name="generator",
             )
+        kwargs = {} if mc.generator.type == "ringformer" else {"prior": prior}
         return gen(
             mel=mel,
             style=style,
@@ -93,4 +95,5 @@ class SpeechPredictor(nn.Module):
             voiced=voiced,
             rng=gen_rng,
             training=training,
+            **kwargs,
         )

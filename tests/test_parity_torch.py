@@ -362,3 +362,240 @@ def test_duration_predictor_parity():
         params, jnp.asarray(texts), jnp.asarray(lengths), jnp.asarray(style)
     ))
     assert max_rel(got, want) < 1e-4
+
+
+# ---------------------------------------------------------- generator / DSP
+
+
+def test_reference_conv_stft_parity():
+    """My stft/istft in reference-convention mode vs the reference's
+    export-safe conv STFT (reference stft.py)."""
+    ref = ref_module("stft")
+    from stylish_tts_tpu.dsp import stft as stft_lib
+
+    tstft = ref.STFT(filter_length=16, hop_length=4, win_length=16)
+    audio = np.random.randn(2, 400).astype(np.float32)
+    with torch.no_grad():
+        mag_t, x_t, y_t = tstft.transform(torch.from_numpy(audio))
+    mag, x, y = stft_lib.stft_magnitude_unit_phase(
+        jnp.asarray(audio), 16, 4, 16, center=True, pad_mode="edge"
+    )
+    assert max_rel(mag, mag_t.numpy()) < 1e-5
+    assert max_rel(x, x_t.numpy()) < 1e-5
+
+    spec = np.abs(np.random.randn(2, 9, 30)).astype(np.float32) + 0.1
+    phase = np.random.uniform(-np.pi, np.pi, (2, 9, 30)).astype(np.float32)
+    with torch.no_grad():
+        want = tstft.inverse(
+            torch.from_numpy(spec), torch.from_numpy(np.cos(phase)),
+            torch.from_numpy(np.sin(phase)),
+        ).numpy()[:, 0]
+    got = stft_lib.istft(
+        jnp.asarray(spec * np.cos(phase)), jnp.asarray(spec * np.sin(phase)),
+        16, 4, 16, center=True, normalize_window=False, uniform_scale=True,
+    )
+    assert max_rel(got, want) < 1e-5
+
+
+def test_sine_source_deterministic_parity():
+    """Hn-NSF harmonic source, deterministic part (noise/init phase zeroed)."""
+    ref = ref_module("generator")
+    hop = 30
+    tm = ref.SourceModuleHnNSF(
+        sampling_rate=24000, upsample_scale=hop, harmonic_num=8,
+        voiced_threshod=10,
+    )
+    tm.eval()
+    sd = fold_state_dict(tm.state_dict())
+
+    from stylish_tts_tpu.models.generator import SineSource
+
+    fm = SineSource(sample_rate=24000, hop_length=hop, harmonic_num=8,
+                    voiced_threshold=10.0, deterministic=True)
+    params = {"params": {"merge": ti.dense(sd, "l_linear")}}
+
+    B, F = 2, 16
+    f0 = np.full((B, F), 220.0, np.float32)
+    f0[1, :] = 147.0
+
+    # zero the reference's stochastic parts
+    orig_rand, orig_randn = torch.rand, torch.randn
+    try:
+        torch.rand = lambda *a, **k: orig_rand(*a, **k) * 0
+        torch.randn = lambda *a, **k: orig_randn(*a, **k) * 0
+        f0_up = torch.nn.functional.interpolate(
+            torch.from_numpy(f0)[:, None], scale_factor=hop, mode="linear"
+        ).transpose(1, 2)
+        with torch.no_grad():
+            want, _, _ = tm(f0_up, F)
+        want = want.squeeze(2).numpy()
+    finally:
+        torch.rand, torch.randn = orig_rand, orig_randn
+
+    got = np.asarray(fm.apply(params, jnp.asarray(f0), jax.random.PRNGKey(0)))
+    # constant-F0 rows: integration paths agree up to interpolation detail
+    assert max_rel(got, want) < 1e-3, max_rel(got, want)
+
+
+def _gen_cfgs():
+    from stylish_tts_tpu.config import GeneratorConfig
+
+    kw = dict(input_dim=10, io_conv_kernel_size=3, conformer_layers=1,
+              conv_layers=4)
+    return _NS(**kw), GeneratorConfig(norm_mode="affine", **kw)
+
+
+def test_multi_generator_parity():
+    """Full flagship vocoder vs reference MultiGenerator, with the
+    stochastic harmonic prior captured from the reference and injected."""
+    ref = ref_module("generator")
+    tcfg, fcfg = _gen_cfgs()
+    tm = ref.MultiGenerator(style_dim=8, n_fft=64, win_length=64,
+                            hop_length=300, sample_rate=24000, config=tcfg)
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, torch.nn.BatchNorm1d):
+                mod.running_mean.normal_(0.0, 0.5)
+                mod.running_var.uniform_(0.5, 2.0)
+    tm.eval()
+    sd = fold_state_dict(tm.state_dict())
+    params = {"params": ti.convert_multi_generator(
+        sd, conformer_layers=1, conv_layers=4
+    )}
+
+    captured = {}
+    orig_forward = tm.basegen.m_source.forward
+
+    def capture(x, source_len):
+        out = orig_forward(x, source_len)
+        captured["prior"] = out[0].squeeze(2).detach().numpy()
+        return out
+
+    tm.basegen.m_source.forward = capture
+
+    from stylish_tts_tpu.models.generator import MultiGenerator
+
+    fm = MultiGenerator(style_dim=8, n_fft=64, win_length=64, hop_length=300,
+                        sample_rate=24000, config=fcfg)
+
+    B, F = 2, 4
+    mel = np.random.randn(B, 10, F).astype(np.float32)
+    style = np.random.randn(B, 8).astype(np.float32)
+    pitch = np.full((B, F), 220.0, np.float32)
+    energy = np.random.randn(B, F).astype(np.float32)
+    voiced = np.ones((B, F), np.float32)
+    with torch.no_grad():
+        want = tm(
+            mel=torch.from_numpy(mel), style=torch.from_numpy(style),
+            pitch=torch.from_numpy(pitch), energy=torch.from_numpy(energy),
+            voiced=torch.from_numpy(voiced),
+        ).audio.numpy()
+
+    got = fm.apply(
+        params,
+        mel=jnp.asarray(mel.transpose(0, 2, 1)),
+        style=jnp.asarray(style),
+        pitch=jnp.asarray(pitch),
+        energy=jnp.asarray(energy),
+        voiced=jnp.asarray(voiced),
+        rng=jax.random.PRNGKey(0),
+        prior=jnp.asarray(captured["prior"]),
+    ).audio
+    want = want.reshape(B, -1)
+    got = np.asarray(got).reshape(B, -1)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    assert max_rel(got, want) < 1e-3, max_rel(got, want)
+
+
+def test_speech_predictor_parity():
+    """End-to-end acoustic path: TextEncoder -> Decoder -> MultiGenerator."""
+    ref = ref_module("speech_predictor")
+    from stylish_tts_tpu.config import ModelConfig
+
+    mc = ModelConfig()
+    mc.inter_dim = 16
+    mc.style_dim = 8
+    mc.n_fft = 64
+    mc.win_length = 64
+    mc.text_encoder.tokens = 20
+    mc.text_encoder.hidden_dim = 16
+    mc.text_encoder.filter_channels = 32
+    mc.text_encoder.heads = 2
+    mc.text_encoder.layers = 1
+    mc.text_encoder.dropout = 0.0
+    mc.decoder.hidden_dim = 12
+    mc.decoder.residual_dim = 6
+    mc.generator.input_dim = 12
+    mc.generator.io_conv_kernel_size = 3
+    mc.generator.conformer_layers = 1
+    mc.generator.conv_layers = 4
+    mc.imported_weights = True
+
+    tmc = _NS(
+        inter_dim=16, style_dim=8, n_fft=64, win_length=64, hop_length=300,
+        sample_rate=24000,
+        text_encoder=_NS(tokens=20, hidden_dim=16, filter_channels=32,
+                         heads=2, layers=1, kernel_size=3, dropout=0.0),
+        decoder=_NS(hidden_dim=12, residual_dim=6),
+        generator=_NS(input_dim=12, io_conv_kernel_size=3,
+                      conformer_layers=1, conv_layers=4),
+    )
+    tm = ref.SpeechPredictor(tmc)
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, torch.nn.BatchNorm1d):
+                mod.running_mean.normal_(0.0, 0.5)
+                mod.running_var.uniform_(0.5, 2.0)
+    tm.eval()
+    sd = fold_state_dict(tm.state_dict())
+    params = {"params": ti.convert_speech_predictor(
+        sd, text_layers=1, conformer_layers=1, conv_layers=4
+    )}
+
+    captured = {}
+    orig_forward = tm.generator.basegen.m_source.forward
+
+    def capture(x, source_len):
+        out = orig_forward(x, source_len)
+        captured["prior"] = out[0].squeeze(2).detach().numpy()
+        return out
+
+    tm.generator.basegen.m_source.forward = capture
+
+    from stylish_tts_tpu.models import build_model
+
+    models = build_model(mc)
+    fm = models["speech_predictor"]
+
+    B, L, F = 2, 7, 4
+    texts = np.random.randint(1, 20, (B, L)).astype(np.int64)
+    lengths = np.array([L, L - 2], np.int64)
+    align = np.zeros((B, L, F), np.float32)
+    for b in range(B):
+        for f in range(F):
+            align[b, min(f * L // F, L - 1), f] = 1.0
+    pitch = np.full((B, F), 220.0, np.float32)
+    energy = np.random.randn(B, F).astype(np.float32)
+    voiced = np.ones((B, F), np.float32)
+    style = np.random.randn(B, 8).astype(np.float32)
+
+    with torch.no_grad():
+        want = tm(
+            torch.from_numpy(texts), torch.from_numpy(lengths),
+            torch.from_numpy(align), torch.from_numpy(pitch),
+            torch.from_numpy(energy), torch.from_numpy(voiced),
+            torch.from_numpy(style), torch.from_numpy(pitch),
+        ).audio.numpy()
+
+    got = fm.apply(
+        params,
+        jnp.asarray(texts), jnp.asarray(lengths), jnp.asarray(align),
+        jnp.asarray(pitch), jnp.asarray(energy), jnp.asarray(voiced),
+        jnp.asarray(style), jnp.asarray(pitch),
+        rng=jax.random.PRNGKey(0), prior=jnp.asarray(captured["prior"]),
+    ).audio
+    want = want.reshape(B, -1)
+    got = np.asarray(got).reshape(B, -1)
+    assert got.shape == want.shape
+    # fp32 accumulation noise through exp/atan2/iSTFT in a deep stack
+    assert max_rel(got, want) < 3e-3, max_rel(got, want)
