@@ -45,10 +45,19 @@ def _setup_jax_cache():
         logger.debug("compilation cache unavailable: %s", exc)
 
 
-def _load_configs(config_path, model_config_path):
+def _load_configs(config_path, model_config_path, checkpoint=None):
+    """Load configs; a checkpoint's own model_config.json wins over the
+    YAML when present (it carries import provenance like
+    imported_weights, reference train_context config registry parity)."""
     _setup_jax_cache()
     config = load_config_yaml(config_path) if config_path else Config()
-    if model_config_path:
+    ckpt_mc = checkpoint and osp.join(checkpoint, "model_config.json")
+    if ckpt_mc and osp.isfile(ckpt_mc):
+        import json
+
+        with open(ckpt_mc, "r", encoding="utf-8") as f:
+            model_config = ModelConfig.model_validate(json.load(f))
+    elif model_config_path:
         model_config = load_model_config_yaml(model_config_path)
     else:
         model_config = ModelConfig()
@@ -226,6 +235,40 @@ def train(config_path, model_config_path, out_dir, stage, checkpoint,
         trainer.train(stage, checkpoint=checkpoint, reset_stage=reset_stage)
 
 
+@train_cli.command("import-torch")
+@click.option("--config", "config_path", type=click.Path(exists=True))
+@click.option("--model-config", "model_config_path", type=click.Path(exists=True))
+@click.option("--checkpoint", required=True, type=click.Path(exists=True),
+              help="Reference accelerate save_state checkpoint directory")
+@click.option("--out", "out_dir", required=True, type=click.Path())
+def import_torch(config_path, model_config_path, checkpoint, out_dir):
+    """Import a trained PyTorch reference checkpoint (accelerate
+    save_state dir) into this framework's checkpoint format.
+
+    The imported model runs the exact reference function (BatchNorm
+    folded to frozen affine, weight/spectral norm folded into kernels —
+    see convert/): `convert`, `voicepack` and `speak` work on it
+    directly, so reference users keep their trained models when
+    switching."""
+    import jax
+
+    from .convert.checkpoint_import import import_torch_checkpoint
+    from .trainer.checkpoint import Manifest, save_checkpoint
+    from .trainer.normalization import NormalizationStats
+    from .trainer.state import create_train_state
+
+    config, model_config = _load_configs(config_path, model_config_path)
+    params = import_torch_checkpoint(checkpoint, model_config)
+    params = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
+    state = create_train_state(params, model_config.text_encoder.tokens + 1)
+    manifest = Manifest(stage="duration")  # fully-trained reference model
+    os.makedirs(out_dir, exist_ok=True)
+    path = save_checkpoint(
+        out_dir, state, manifest, config, model_config, NormalizationStats()
+    )
+    click.echo(f"imported torch checkpoint -> {path}")
+
+
 @train_cli.command("convert")
 @click.option("--config", "config_path", required=True, type=click.Path(exists=True))
 @click.option("--model-config", "model_config_path", type=click.Path(exists=True))
@@ -243,7 +286,9 @@ def convert(config_path, model_config_path, checkpoint, out_dir, stablehlo):
     from .trainer.loop import Trainer
     from .trainer.state import create_train_state
 
-    config, model_config = _load_configs(config_path, model_config_path)
+    config, model_config = _load_configs(
+        config_path, model_config_path, checkpoint=checkpoint
+    )
     trainer = Trainer(config, model_config, out_dir)
     params = init_all_params(trainer.models, model_config, jax.random.PRNGKey(0))
     abstract = create_train_state(params, model_config.text_encoder.tokens + 1)
@@ -295,7 +340,9 @@ def voicepack(config_path, model_config_path, checkpoint, out_path, dynamic):
         save_static_voicepack,
     )
 
-    config, model_config = _load_configs(config_path, model_config_path)
+    config, model_config = _load_configs(
+        config_path, model_config_path, checkpoint=checkpoint
+    )
     trainer = Trainer(config, model_config, osp.dirname(out_path) or ".")
     params0 = init_all_params(trainer.models, model_config, jax.random.PRNGKey(0))
     abstract = create_train_state(params0, model_config.text_encoder.tokens + 1)

@@ -25,11 +25,24 @@ from stylish_tts_tpu.convert import fold_state_dict, torch_import as ti  # noqa:
 from ref_loader import ref_module  # noqa: E402
 
 
+_RECORDED: dict = {}
+
+
 def max_rel(a: np.ndarray, b: np.ndarray) -> float:
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
     scale = max(np.abs(b).max(), 1e-6)
-    return float(np.abs(a - b).max() / scale)
+    err = float(np.abs(a - b).max() / scale)
+    import os, inspect  # record per-test worst error for PARITY.md
+
+    test = next((f.function for f in inspect.stack()
+                 if f.function.startswith("test_")), "?")
+    _RECORDED[test] = max(err, _RECORDED.get(test, 0.0))
+    if os.environ.get("PARITY_REPORT"):
+        import json
+        with open(os.environ["PARITY_REPORT"], "w") as fh:
+            json.dump(_RECORDED, fh, indent=1, sort_keys=True)
+    return err
 
 
 def run_torch(mod, *args):
