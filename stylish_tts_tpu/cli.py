@@ -188,20 +188,47 @@ def _write_textgrid(path, phonemes, durations, hop_seconds):
 @click.option("--config", "config_path", required=True, type=click.Path(exists=True))
 @click.option("--model-config", "model_config_path", type=click.Path(exists=True))
 @click.option("--out", "out_dir", required=True, type=click.Path())
-def pitch(config_path, model_config_path, out_dir):
-    """Generate the pitch cache (batched YIN on the accelerator)."""
+@click.option("--method", default="yin", type=click.Choice(["yin", "rmvpe"]),
+              help="'yin' (on-device DSP, no weights needed) or 'rmvpe' "
+                   "(NN estimator; reference pitch_extractor.py:44-58)")
+@click.option("--rmvpe-weights", default=None, type=click.Path(exists=True),
+              help="rmvpe.safetensors path (HF stylish-tts/pitch_extractor); "
+                   "downloaded automatically when the hub is reachable")
+def pitch(config_path, model_config_path, out_dir, method, rmvpe_weights):
+    """Generate the pitch cache (batched YIN or RMVPE on the accelerator)."""
     from .data.caches import save_cache
     from .dataprep.pitch import extract_pitch_for_dataset
     from .trainer.loop import Trainer
 
     config, model_config = _load_configs(config_path, model_config_path)
     trainer = Trainer(config, model_config, out_dir)
+
+    extractor = None
+    if method == "rmvpe":
+        from .dataprep.rmvpe import RMVPEPitchExtractor
+
+        if rmvpe_weights is None:
+            try:
+                from huggingface_hub import hf_hub_download
+
+                rmvpe_weights = hf_hub_download(
+                    "stylish-tts/pitch_extractor", "rmvpe.safetensors"
+                )
+            except Exception as exc:
+                raise click.ClickException(
+                    f"--rmvpe-weights not given and hub download failed: {exc}"
+                )
+        extractor = RMVPEPitchExtractor(
+            rmvpe_weights, model_config.sample_rate, model_config.hop_length
+        )
+
     cache = {}
     for list_name in (config.dataset.train_data, config.dataset.val_data):
         ds = trainer.build_dataset(list_name)
         cache.update(
             extract_pitch_for_dataset(
-                ds, model_config.hop_length, model_config.sample_rate
+                ds, model_config.hop_length, model_config.sample_rate,
+                extractor=extractor,
             )
         )
     out_path = trainer.data_path(config.dataset.pitch_path)

@@ -113,9 +113,12 @@ def yin_pitch(
 
 def extract_pitch_for_dataset(
     dataset, hop_length: int, sample_rate: int, batch_size: int = 8,
-    progress=None,
+    progress=None, extractor=None,
 ) -> Dict[str, np.ndarray]:
-    """Whole-dataset pitch cache, batched per duration bin."""
+    """Whole-dataset pitch cache, batched per duration bin.
+
+    ``extractor``: optional RMVPEPitchExtractor (dataprep/rmvpe.py);
+    default is the on-device batched YIN."""
     bins, _ = dataset.time_bins()
     cache: Dict[str, np.ndarray] = {}
     for time_bin, idxs in sorted(bins.items()):
@@ -124,10 +127,13 @@ def extract_pitch_for_dataset(
             items = [dataset.load_segment(j) for j in chunk]
             audio = np.stack([it["audio"] for it in items])
             frames = audio.shape[1] // hop_length
-            f0 = yin_pitch(
-                jnp.asarray(audio), hop=hop_length, frames=frames,
-                sample_rate=sample_rate,
-            )
+            if extractor is not None:
+                f0 = extractor.infer(audio)[:, :frames]
+            else:
+                f0 = yin_pitch(
+                    jnp.asarray(audio), hop=hop_length, frames=frames,
+                    sample_rate=sample_rate,
+                )
             f0 = np.asarray(f0)
             for k, it in enumerate(items):
                 cache[it["path"]] = f0[k]

@@ -39,8 +39,14 @@ def load_reference_models():
         class _Conformer:  # unused at runtime (commented-out code paths)
             pass
 
+        class _Resample:  # rmvpe/inference.py:4 (unused in tests)
+            def __init__(self, *a, **k):
+                pass
+
         ta = _stub("torchaudio")
         ta.models = _stub("torchaudio.models", Conformer=_Conformer)
+        ta.transforms = _stub("torchaudio.transforms", Resample=_Resample)
+        ta.__path__ = []  # mark as package so submodule imports resolve
 
         class Munch(dict):
             __getattr__ = dict.__getitem__
@@ -54,6 +60,29 @@ def load_reference_models():
             nvmlDeviceGetMemoryInfo=lambda h: None,
         )
         _stub("onnxruntime")
+
+        # librosa: only filters.mel is used (rmvpe/spec.py:4); provide the
+        # equivalent htk+slaney filterbank so the reference model imports.
+        def _librosa_mel(*, sr, n_fft, n_mels, fmin, fmax, htk=False):
+            assert htk, "stub supports htk=True only"
+            import numpy as np
+
+            from stylish_tts_tpu.dsp.mel import mel_filterbank
+
+            fb = mel_filterbank(n_mels, n_fft, sr, f_min=fmin, f_max=fmax)
+
+            def h2m(f):
+                return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+            def m2h(m):
+                return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+            pts = m2h(np.linspace(h2m(fmin), h2m(fmax), n_mels + 2))
+            enorm = 2.0 / (pts[2:] - pts[:-2])
+            return (fb * enorm[None, :]).T.astype(np.float32)  # (n_mels, freq)
+
+        lib = _stub("librosa")
+        lib.filters = _stub("librosa.filters", mel=_librosa_mel)
 
         # bypass stylish_tts/__init__.py (imports the full training CLI)
         pkg = types.ModuleType("stylish_tts")

@@ -80,3 +80,64 @@ def test_yin_voicing_gate_is_scale_invariant():
         assert voiced_frac > 0.9, (scale, voiced_frac)
         est = np.median(core[core > 0])
         assert abs(est - 180.0) < 3.0, (scale, est)
+
+
+def test_rmvpe_forward_golden_vs_torch():
+    """Flax RMVPE (E2E0 deep U-net + BiGRU) vs the reference torch
+    architecture with identical (random) weights + BN running stats."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from ref_loader import load_reference_models  # sets up stubs
+    load_reference_models()
+    import importlib
+    rm = importlib.import_module("stylish_tts.train.dataprep.rmvpe.model")
+
+    from stylish_tts_tpu.dataprep.rmvpe import convert_rmvpe_torch, rmvpe_forward
+
+    torch.manual_seed(0)
+    tm = rm.E2E0(4, 1, (2, 2))
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.normal_(0.0, 0.5)
+                mod.running_var.uniform_(0.5, 2.0)
+    tm.eval()
+    params = convert_rmvpe_torch(tm.state_dict())
+
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, 128, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(mel)).numpy()
+    got = np.asarray(rmvpe_forward(params, jnp.asarray(mel)))
+    err = np.abs(got - want).max()
+    assert got.shape == want.shape
+    assert err < 1e-4, err
+
+
+def test_rmvpe_mel_matches_reference_spec():
+    """RMVPE log-mel front end vs the reference spec.py (librosa htk
+    mel filters + torch.stft)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from ref_loader import load_reference_models
+    load_reference_models()
+    import importlib
+    sp = importlib.import_module("stylish_tts.train.dataprep.rmvpe.spec")
+    # NOTE: librosa is stubbed with an equivalent htk+slaney filterbank
+    # (ref_loader) — this golden pins the stft/log path, not the basis.
+
+    from stylish_tts_tpu.dataprep.rmvpe import rmvpe_log_mel
+
+    tmel = sp.MelSpectrogram(128, 16000, 1024, 200, None, 30, 8000)
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        want = tmel(torch.from_numpy(audio)[None]).numpy()
+    got = np.asarray(rmvpe_log_mel(jnp.asarray(audio)[None], 200))
+    assert got.shape == want.shape
+    err = np.abs(got - want).max()
+    assert err < 1e-3, err
