@@ -28,18 +28,53 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
-# (path regex, feature axis to shard): -1 = output features, -2 = input
+# (path regex, feature axis to shard): -1 = output features, -2 = input.
+# Rules come in megatron column/row pairs wherever an elementwise
+# nonlinearity separates an expansion from a contraction, so the pair
+# needs ONE all-reduce (on the contraction output) and no resharding
+# in between.  Unpairable kernels (depthwise convs, norm-separated
+# stacks like the text-encoder prenet) stay replicated — GroupNorm /
+# LayerNorm over the full feature axis would force an all-gather per
+# layer, costing more ICI than the FLOPs saved.
 _RULES = [
+    # ConvNeXt pointwise pair (generator trunks, duration predictor)
     (r"pwconv1/kernel$", -1),
     (r"pwconv2/kernel$", -2),
+    # conv-FFN pair (text encoder, prosody encoder)
     (r"ffn_\d+/conv1/Conv_0/kernel$", -1),
     (r"ffn_\d+/conv2/Conv_0/kernel$", -2),
+    # attention head/out pairs
     (r"attn_\d+/(q|k|v)/kernel$", -1),
     (r"attn_\d+/out/kernel$", -2),
     (r"attn/(to_q|to_kv)/kernel$", -1),
     (r"attn/to_out/kernel$", -2),
+    (r"cross_attention/(q|k|v)/kernel$", -1),
+    (r"cross_attention/out/kernel$", -2),
+    # conformer feed-forward pairs
     (r"(ff1|ff2)/Dense_0/kernel$", -1),
     (r"(ff1|ff2)/Dense_1/kernel$", -2),
+    # AdaIN decoder / generator residual conv pairs (leaky/snake between)
+    (r"(encode|decode_\d+)/conv1/Conv_0/kernel$", -1),
+    (r"(encode|decode_\d+)/conv2/Conv_0/kernel$", -2),
+    (r"conv1_\d+/Conv_0/kernel$", -1),
+    (r"conv2_\d+/Conv_0/kernel$", -2),
+    # pitch/energy twin AdaIN heads
+    (r"(f0|n)_\d+/conv1/Conv_0/kernel$", -1),
+    (r"(f0|n)_\d+/conv2/Conv_0/kernel$", -2),
+    # style-encoder ResBlk pair (leaky between; the depthwise 'down'
+    # shards along the same column-sharded features)
+    (r"res_\d+/conv1/kernel$", -1),
+    (r"res_\d+/down/kernel$", -1),
+    (r"res_\d+/conv2/kernel$", -2),
+    # style-encoder head: post conv column, output Dense row (global
+    # average pool between is feature-elementwise)
+    (r"core/post/kernel$", -1),
+    (r"core/out/kernel$", -2),
+    # aligner FFN stack: alternate column/row (ReLU between is
+    # elementwise); the final head contracts the row-sharded ffn_4
+    (r"ffn_(0|2|4)/kernel$", -1),
+    (r"ffn_(1|3)/kernel$", -2),
+    (r"text_aligner.*/out/kernel$", -2),
 ]
 
 

@@ -25,9 +25,14 @@ PHONEME_SETS = [
 def make_micro_dataset(
     root: str, n_train: int = 6, n_val: int = 2, sample_rate: int = 24000,
     hop: int = 300, with_caches: bool = True, seed: int = 0,
-    uniform_duration: bool = False,
+    uniform_duration: bool = False, voice: str = "sine",
 ):
-    """Create wav-dir + train/val lists (+ pitch & alignment caches)."""
+    """Create wav-dir + train/val lists (+ pitch & alignment caches).
+
+    voice="formant" synthesizes speech-shaped audio (glottal source +
+    formant resonators per phoneme, tests/formant_speech.py) with
+    ground-truth per-phoneme durations in the align cache; "sine" keeps
+    the fast chirp fixtures."""
     rng = np.random.default_rng(seed)
     wav_dir = osp.join(root, "wav-dir")
     os.makedirs(wav_dir, exist_ok=True)
@@ -38,32 +43,56 @@ def make_micro_dataset(
         align_cache = {}
         for i in range(n):
             phonemes = PHONEME_SETS[(i + offset) % len(PHONEME_SETS)]
-            # audio duration: 0.9-1.6 s (bins 2..4); uniform -> one bin
-            # (one compiled program per stage, fast CPU smoke)
-            if uniform_duration:
-                dur_s = 0.9
+            if voice == "formant":
+                from formant_speech import synth_utterance
+
+                audio, ph_durs, f0_samples = synth_utterance(
+                    phonemes, sample_rate, seed=seed * 1000 + offset + i,
+                    f0_start=float(rng.uniform(120, 180)),
+                )
+                samples = len(audio)
             else:
-                dur_s = 0.9 + 0.15 * ((i + offset) % 5)
-            samples = int(dur_s * sample_rate)
-            t = np.arange(samples) / sample_rate
-            f0 = 120.0 + 30.0 * np.sin(2 * np.pi * 1.3 * t)
-            audio = 0.4 * np.sin(2 * np.pi * np.cumsum(f0) / sample_rate)
-            audio += 0.05 * rng.standard_normal(samples)
+                # audio duration: 0.9-1.6 s (bins 2..4); uniform -> one bin
+                # (one compiled program per stage, fast CPU smoke)
+                if uniform_duration:
+                    dur_s = 0.9
+                else:
+                    dur_s = 0.9 + 0.15 * ((i + offset) % 5)
+                samples = int(dur_s * sample_rate)
+                t = np.arange(samples) / sample_rate
+                f0 = 120.0 + 30.0 * np.sin(2 * np.pi * 1.3 * t)
+                audio = 0.4 * np.sin(2 * np.pi * np.cumsum(f0) / sample_rate)
+                audio += 0.05 * rng.standard_normal(samples)
             name = f"{prefix}{i}.wav"
             write_wav(osp.join(wav_dir, name), audio, sample_rate)
             lines.append(f"{name}|{phonemes}|0|sample text {i}")
             if with_caches:
                 time_bin = get_time_bin(samples, hop)
                 frames = get_frame_count(time_bin)
-                pf = 120.0 + 30.0 * np.sin(
-                    2 * np.pi * 1.3 * np.arange(frames) * hop / sample_rate
-                )
-                pitch_cache[name] = pf.astype(np.float32)
                 n_tok = len(phonemes) + 2  # tokenizer adds 2 pads
-                base = frames // n_tok
-                durs = np.full(n_tok, base, np.float32)
-                durs[-1] += frames - base * n_tok
-                align_cache[name] = durs[None, :]
+                if voice == "formant":
+                    idx = np.minimum(
+                        np.arange(frames) * hop, samples - 1
+                    )
+                    pitch_cache[name] = f0_samples[idx].astype(np.float32)
+                    # ground-truth durations from the synthesizer, padded
+                    # tokens absorb the frame remainder
+                    durs = np.zeros(n_tok, np.float32)
+                    scaled = ph_durs / hop
+                    durs[1:-1] = scaled
+                    total = float(durs.sum())
+                    durs[0] = max((frames - total) / 2, 0)
+                    durs[-1] = max(frames - total - durs[0], 0)
+                    align_cache[name] = durs[None, :]
+                else:
+                    pf = 120.0 + 30.0 * np.sin(
+                        2 * np.pi * 1.3 * np.arange(frames) * hop / sample_rate
+                    )
+                    pitch_cache[name] = pf.astype(np.float32)
+                    base = frames // n_tok
+                    durs = np.full(n_tok, base, np.float32)
+                    durs[-1] += frames - base * n_tok
+                    align_cache[name] = durs[None, :]
         return lines, pitch_cache, align_cache
 
     train_lines, train_pitch, train_align = make_split(n_train, "tr", 0)
