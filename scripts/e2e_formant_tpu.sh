@@ -1,0 +1,58 @@
+#!/usr/bin/env bash
+# Full pipeline on FORMANT-SYNTHESIZED speech, full-size model, real TPU,
+# slm loss enabled (random-init WavLM fallback under zero egress):
+#   fixture -> pitch -> train-align -> align (scored vs ground truth) ->
+#   train (acoustic/textual/duration) -> convert -> voicepack -> speak
+# Run in background; TPU compiles dominate the first hour.
+set -ex
+cd "$(dirname "$0")/.."
+WORK=${1:-/tmp/formant_e2e}
+rm -rf "$WORK"
+mkdir -p "$WORK"
+
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python - "$WORK" <<'EOF'
+import sys, os
+sys.path.insert(0, "tests")
+from fixtures import make_micro_dataset
+work = sys.argv[1]
+make_micro_dataset(os.path.join(work, "data"), n_train=48, n_val=8,
+                   with_caches=True, voice="formant", seed=11)
+import yaml
+cfg = {
+  "training": {"log_interval": 10, "save_interval": 200, "val_interval": 100,
+                "device": "tpu", "mixed_precision": "bf16", "data_workers": 2},
+  "training_plan": {
+    "alignment": {"epochs": 30, "probe_batch_max": 8, "lr": 2e-4},
+    "acoustic": {"epochs": 40, "probe_batch_max": 8, "lr": 1e-4},
+    "textual": {"epochs": 15, "probe_batch_max": 8, "lr": 3e-5},
+    "duration": {"epochs": 15, "probe_batch_max": 8, "lr": 1e-4},
+  },
+  "dataset": {"path": os.path.join(work, "data"),
+               "train_data": "train-list.txt", "val_data": "val-list.txt",
+               "wav_path": "wav-dir", "pitch_path": "pitch.safetensors",
+               "alignment_path": "alignment.safetensors",
+               "alignment_model_path": "alignment_model.safetensors"},
+  "validation": {"sample_count": 4},
+}
+open(os.path.join(work, "config.yml"), "w").write(yaml.dump(cfg))
+print("formant fixture ready")
+EOF
+
+RUN="python -m stylish_tts_tpu.cli"   # ambient env: real TPU
+CFG="--config $WORK/config.yml"
+
+$RUN pitch $CFG --out "$WORK/out"
+$RUN train-align $CFG --out "$WORK/out"
+$RUN align $CFG --out "$WORK/out"
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+  python scripts/score_alignment.py "$WORK/data" | tee "$WORK/alignment_score.json"
+$RUN train $CFG --out "$WORK/out" --stage acoustic
+CKPT=$(ls -d "$WORK"/out/duration/checkpoint_* | tail -1)
+$RUN convert $CFG --checkpoint "$CKPT" --out "$WORK/package"
+$RUN voicepack $CFG --checkpoint "$CKPT" --out "$WORK/voicepack.safetensors"
+printf 'ɔnðə kˈɑːntɹɛɹi\nnɑkzi tʊmɜn dʊvɔs\n' > "$WORK/doc.txt"
+python -m stylish_tts_tpu.cli_tts \
+  speak --model "$WORK/package" --voicepack "$WORK/voicepack.safetensors" \
+  --text "$WORK/doc.txt" --out "$WORK/speech.wav"
+ls -la "$WORK/speech.wav"
+echo "FORMANT E2E OK"

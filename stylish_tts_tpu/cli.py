@@ -262,6 +262,39 @@ def train(config_path, model_config_path, out_dir, stage, checkpoint,
         trainer.train(stage, checkpoint=checkpoint, reset_stage=reset_stage)
 
 
+@train_cli.command("dataset-from-audiobook")
+@click.option("--audio", "audio_paths", required=True, multiple=True,
+              type=click.Path(exists=True),
+              help="narration wav file(s) or directory, in reading order")
+@click.option("--book", "book_path", required=True, type=click.Path(exists=True))
+@click.option("--out", "out_dir", required=True, type=click.Path())
+@click.option("--sample-rate", default=24000)
+@click.option("--val-fraction", default=0.05)
+def dataset_from_audiobook(audio_paths, book_path, out_dir, sample_rate,
+                           val_fraction):
+    """Build an LJSpeech-style training dataset from audiobook narration:
+    VAD-segment the audio, sentence-pack + phonemize the book text, pair
+    in reading order (reference ttab dataset scripts counterpart)."""
+    from .textproc.audiobook import prepare_dataset
+
+    paths = []
+    for p in audio_paths:
+        if osp.isdir(p):
+            paths.extend(
+                osp.join(p, f) for f in sorted(os.listdir(p))
+                if f.lower().endswith(".wav")
+            )
+        else:
+            paths.append(p)
+    with open(book_path, "r", encoding="utf-8") as f:
+        book_text = f.read()
+    os.makedirs(out_dir, exist_ok=True)
+    n_train, n_val = prepare_dataset(
+        paths, book_text, out_dir, sample_rate, val_fraction
+    )
+    click.echo(f"wrote {n_train} train / {n_val} val segments to {out_dir}")
+
+
 @train_cli.command("import-torch")
 @click.option("--config", "config_path", type=click.Path(exists=True))
 @click.option("--model-config", "model_config_path", type=click.Path(exists=True))

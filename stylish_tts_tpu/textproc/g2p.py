@@ -85,11 +85,43 @@ def _phonemize_rules(text: str) -> str:
     return "".join(words)
 
 
-def phonemize(text: str, voice: str = "en-us") -> str:
-    """Plain text -> IPA phoneme string (symbol-table compatible)."""
+def _phonemize_plain(text: str, voice: str = "en-us") -> str:
     if _ESPEAK is not None:
         try:
             return _phonemize_espeak(text, voice)
         except Exception:
             pass
     return _phonemize_rules(text)
+
+
+def phonemize(text: str, voice: str = "en-us") -> str:
+    """Plain text -> IPA phoneme string (symbol-table compatible).
+
+    Heteronyms are resolved by POS context first (textproc/homographs.py,
+    the hermetic counterpart of the reference's ModernBERT disambiguator,
+    lib/ttab/homographs.py:17) and their IPA spliced around the backend
+    G2P output."""
+    from .homographs import pronunciation_overrides
+
+    overrides = pronunciation_overrides(text)
+    if not overrides:
+        return _phonemize_plain(text, voice)
+    parts = []
+    pos = 0
+    for start, end, ipa in overrides:
+        chunk = text[pos:start]
+        if chunk.strip():
+            parts.append(_phonemize_plain(chunk, voice))
+        elif chunk:
+            parts.append(" " if " " in chunk else "")
+        parts.append(ipa)
+        pos = end
+    tail = text[pos:]
+    if tail.strip():
+        parts.append(_phonemize_plain(tail, voice))
+    out = ""
+    for part in parts:
+        if out and part and not out.endswith(" ") and not part.startswith(" "):
+            out += " "
+        out += part
+    return re.sub(r"\s+", " ", out).strip()

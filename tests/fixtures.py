@@ -37,6 +37,8 @@ def make_micro_dataset(
     wav_dir = osp.join(root, "wav-dir")
     os.makedirs(wav_dir, exist_ok=True)
 
+    gt_align = {}
+
     def make_split(n, prefix, offset):
         lines = []
         pitch_cache = {}
@@ -44,11 +46,17 @@ def make_micro_dataset(
         for i in range(n):
             phonemes = PHONEME_SETS[(i + offset) % len(PHONEME_SETS)]
             if voice == "formant":
-                from formant_speech import synth_utterance
+                from formant_speech import random_phrase, synth_utterance
 
+                if i + offset >= len(PHONEME_SETS):
+                    phonemes = random_phrase(
+                        np.random.default_rng(seed * 7919 + offset + i)
+                    )
                 audio, ph_durs, f0_samples = synth_utterance(
                     phonemes, sample_rate, seed=seed * 1000 + offset + i,
                     f0_start=float(rng.uniform(120, 180)),
+                    # two duration bins -> two compiled programs per stage
+                    target_s=1.1 if (i + offset) % 2 else 1.45,
                 )
                 samples = len(audio)
             else:
@@ -84,6 +92,7 @@ def make_micro_dataset(
                     durs[0] = max((frames - total) / 2, 0)
                     durs[-1] = max(frames - total - durs[0], 0)
                     align_cache[name] = durs[None, :]
+                    gt_align[name] = durs[None, :].copy()
                 else:
                     pf = 120.0 + 30.0 * np.sin(
                         2 * np.pi * 1.3 * np.arange(frames) * hop / sample_rate
@@ -107,4 +116,8 @@ def make_micro_dataset(
                    {**train_pitch, **val_pitch})
         save_cache(osp.join(root, "alignment.safetensors"),
                    {**train_align, **val_align})
+    if gt_align:
+        # synthesizer ground-truth durations, kept separate so the real
+        # `align` pipeline output can be scored against them
+        save_cache(osp.join(root, "gt_alignment.safetensors"), gt_align)
     return root

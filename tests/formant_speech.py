@@ -109,9 +109,12 @@ def synth_phoneme(ph: str, dur_s: float, f0_seg: np.ndarray, sr: int, rng):
 def synth_utterance(
     phonemes: str, sr: int = 24000, seed: int = 0,
     f0_start: float = 140.0, f0_end: float = 95.0,
+    target_s: float | None = None,
 ):
     """IPA string -> (audio float32, per-phoneme durations in samples,
-    per-sample F0).  Returns speech-shaped audio at ~-20 dBFS RMS."""
+    per-sample F0).  Returns speech-shaped audio at ~-20 dBFS RMS.
+    ``target_s`` rescales phoneme durations to hit a total duration
+    (bounds the duration-bin count -> compile count in e2e runs)."""
     rng = np.random.default_rng(seed)
     durs = []
     for ph in phonemes:
@@ -124,6 +127,9 @@ def synth_utterance(
         else:
             d = rng.uniform(0.06, 0.14)
         durs.append(int(d * sr))
+    if target_s is not None:
+        scale = target_s * sr / max(sum(durs), 1)
+        durs = [int(d * scale) for d in durs]
     total = sum(durs)
     decl = np.linspace(f0_start, f0_end, total)
     vib = 3.0 * np.sin(2 * np.pi * 5.0 * np.arange(total) / sr)
@@ -149,3 +155,21 @@ def synth_utterance(
     rms = float(np.sqrt(np.mean(np.square(audio))) + 1e-9)
     audio *= 0.1 / rms
     return np.clip(audio, -0.99, 0.99), np.asarray(durs), f0
+
+
+SYLLABLE_ONSETS = list("tdkspbfvzmnlwjh") + ["ʃ", "ɹ", "ð", "θ"]
+SYLLABLE_NUCLEI = list(VOWELS.keys())
+SYLLABLE_CODAS = ["", "n", "m", "s", "t", "k", "l", "z", ""]
+
+
+def random_phrase(rng, n_words=(2, 4)) -> str:
+    """Random CV(C) syllable phrase over the synthesizer inventory."""
+    words = []
+    for _ in range(int(rng.integers(n_words[0], n_words[1] + 1))):
+        syls = []
+        for _ in range(int(rng.integers(1, 4))):
+            syl = str(rng.choice(SYLLABLE_ONSETS)) + str(rng.choice(SYLLABLE_NUCLEI))
+            syl += str(rng.choice(SYLLABLE_CODAS))
+            syls.append(syl)
+        words.append("".join(syls))
+    return " ".join(words)

@@ -65,3 +65,66 @@ def test_book_chapter_split_and_packing():
     packed = pack_utterances(chapters[0].sentences, budget=30)
     assert all(len(p) <= 40 for p in packed)
     assert " ".join(packed).count("dark night") == 1
+
+
+def test_homograph_disambiguation():
+    """Heteronyms resolved by POS context (VERDICT r1 item 10; reference
+    lib/ttab/homographs.py does this with ModernBERT)."""
+    from stylish_tts_tpu.textproc.homographs import resolve
+
+    assert resolve("read", "i will read the book") == "ɹˈiːd"
+    assert resolve("read", "she had read the book") == "ɹˈɛd"
+    assert resolve("lead", "they will lead the way") == "lˈiːd"
+    assert resolve("lead", "a pipe made of lead") == "lˈɛd"
+    assert resolve("bass", "he plays the bass guitar") == "bˈeɪs"
+    assert resolve("record", "the record was broken") == "ɹˈɛkɚd"
+    assert resolve("record", "we will record the show") == "ɹɪkˈɔːɹd"
+    assert resolve("wind", "the wind was cold") == "wˈɪnd"
+    assert resolve("wind", "please wind the clock") == "wˈaɪnd"
+
+
+def test_phonemize_splices_homograph_ipa():
+    from stylish_tts_tpu.textproc.g2p import phonemize
+
+    out = phonemize("i will read the book")
+    assert "ɹˈiːd" in out
+    out2 = phonemize("she had read it")
+    assert "ɹˈɛd" in out2
+    # non-homograph text unchanged shape
+    assert phonemize("hello world")
+
+
+def test_dataset_from_audiobook(tmp_path):
+    """VAD segmentation + sentence pairing end to end on formant speech."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    import numpy as np
+    from formant_speech import synth_utterance
+    from stylish_tts_tpu.data.wav import write_wav
+    from stylish_tts_tpu.textproc.audiobook import prepare_dataset, vad_split
+
+    sr = 24000
+    # three "sentences" of narration with clear pauses between
+    chunks = []
+    for i, ph in enumerate(["nɑkzi tʊmɜn", "dʊvɔs bɜmθut", "wak tɒt pæn"]):
+        audio, _, _ = synth_utterance(ph, sr, seed=i, target_s=1.6)
+        chunks.append(audio)
+        chunks.append(np.zeros(int(0.5 * sr), np.float32))
+    narration = np.concatenate(chunks)
+    segs = vad_split(narration, sr, min_s=1.0, max_s=4.0)
+    assert 2 <= len(segs) <= 4, len(segs)
+
+    wav = tmp_path / "narration.wav"
+    write_wav(str(wav), narration, sr)
+    book = tmp_path / "book.txt"
+    book.write_text(
+        "Chapter 1\nThe quick brown fox. It jumped over the dog. "
+        "Then it read a book.\n"
+    )
+    n_train, n_val = prepare_dataset(
+        [str(wav)], book.read_text(), str(tmp_path / "ds"), sr,
+        val_fraction=0.3,
+    )
+    assert n_train >= 1
+    lines = (tmp_path / "ds" / "train-list.txt").read_text().splitlines()
+    assert all(len(line.split("|")) == 4 for line in lines if line)
