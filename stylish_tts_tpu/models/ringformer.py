@@ -58,11 +58,16 @@ def generate_pcph(
 
     # phase: radians/sample constant within a frame -> frame cumsum + ramp
     rad = f0.astype(jnp.float32) / sample_rate  # (B, frames)
-    rand_ini = jax.random.uniform(rng, (1, 1))
+    # rng=None -> zero initial phase (deterministic parity tests / export)
+    rand_ini = (
+        jnp.zeros((1, 1)) if rng is None else jax.random.uniform(rng, (1, 1))
+    )
     cum_start = (
         jnp.cumsum(rad, axis=1) - rad + rand_ini
     )  # phase (in cycles) at each frame start / hop
-    ramp = jnp.arange(hop_length, dtype=jnp.float32)[None, None, :]
+    # ramp starts at 1: the reference cumsum is sample-INCLUSIVE
+    # (generator.py:960: radious = cumsum includes the current sample)
+    ramp = jnp.arange(1, hop_length + 1, dtype=jnp.float32)[None, None, :]
     cycles = cum_start[:, :, None] * hop_length + rad[:, :, None] * ramp
     cycles = cycles.reshape(b, 1, frames * hop_length)  # (B, 1, T)
     phase = 2.0 * jnp.pi * cycles * idx  # (B, H, T)
@@ -172,9 +177,12 @@ class UpsampleGenerator(nn.Module):
         spec = jnp.exp(jnp.clip(logamp, -35.0, 35.0))
         real = jnp.moveaxis(spec * jnp.cos(phase), 1, 2)
         imag = jnp.moveaxis(spec * jnp.sin(phase), 1, 2)
+        # the ringformer head inverts with torch.istft semantics (window-
+        # envelope normalized), unlike the freegan head's raw conv iSTFT:
+        # reference TorchSTFT.inverse (generator.py:47-57) calls torch.istft
         audio = stft_lib.istft(
             real, imag, self.gen_istft_n_fft, self.gen_istft_hop_size,
-            self.gen_istft_n_fft, center=True, normalize_window=False,
+            self.gen_istft_n_fft, center=True, normalize_window=True,
             length=mel.shape[1] * prior_hop,
         )
         return DecoderPrediction(

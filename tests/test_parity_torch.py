@@ -612,3 +612,59 @@ def test_speech_predictor_parity():
     assert got.shape == want.shape
     # fp32 accumulation noise through exp/atan2/iSTFT in a deep stack
     assert max_rel(got, want) < 3e-3, max_rel(got, want)
+
+
+def test_text_style_encoder_parity():
+    ref = ref_module("text_style_encoder")
+    tm = ref.TextStyleEncoder(inter_dim=12, style_dim=8, config=_NS(layers=2))
+    sd = fold_state_dict(tm.state_dict())
+    params = {"params": {
+        "conv_in": ti.conv1d_w(sd, "conv_in"),
+        **{f"block_{i}": {
+            "dwconv": ti.conv1d_w(sd, f"blocks.{i}.dwconv"),
+            "LayerNorm_0": ti.layer_norm(sd, f"blocks.{i}.norm"),
+            "pwconv1": ti.dense(sd, f"blocks.{i}.pwconv1"),
+            "GRN_0": ti.grn(sd, f"blocks.{i}.grn"),
+            "pwconv2": ti.dense(sd, f"blocks.{i}.pwconv2"),
+        } for i in range(2)},
+    }}
+
+    from stylish_tts_tpu.models.text_style_encoder import TextStyleEncoder
+
+    fm = TextStyleEncoder(inter_dim=12, style_dim=8, n_layers=2)
+    B, T = 2, 11
+    x = np.random.randn(B, 12, T).astype(np.float32)
+    lengths = np.array([11, 7], np.int64)
+    want = run_torch(tm, torch.from_numpy(x), torch.from_numpy(lengths))
+    got = fm.apply(params, jnp.asarray(x.transpose(0, 2, 1)), jnp.asarray(lengths))
+    assert max_rel(got, want.numpy()) < 1e-4, max_rel(got, want.numpy())
+
+
+def test_generate_pcph_parity():
+    """pcph harmonic prior (ringformer) vs the reference function with
+    the random initial phase zeroed on both sides."""
+    ref = ref_module("generator")
+    from stylish_tts_tpu.models.ringformer import generate_pcph
+
+    B, F, hop, sr = 2, 12, 60, 24000
+    f0 = np.zeros((B, F), np.float32)
+    f0[0] = 220.0
+    f0[1, :6] = 147.0  # second half unvoiced
+    voiced = (f0 > 0).astype(np.float32)
+
+    orig_rand = torch.rand
+    try:
+        torch.rand = lambda *a, **k: orig_rand(*a, **k) * 0
+        with torch.no_grad():
+            want = ref.generate_pcph(
+                torch.from_numpy(f0)[:, None], torch.from_numpy(voiced)[:, None],
+                hop_length=hop, sample_rate=sr,
+            ).numpy()[:, 0]
+    finally:
+        torch.rand = orig_rand
+
+    got = np.asarray(generate_pcph(
+        jnp.asarray(f0), jnp.asarray(voiced), hop, sr, rng=None
+    ))
+    assert got.shape == want.shape
+    assert max_rel(got, want) < 1e-3, max_rel(got, want)
