@@ -19,7 +19,12 @@ REF_SRC = "/root/reference/src"
 
 
 def _stub(name: str, **attrs) -> types.ModuleType:
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    # a real ModuleSpec: torch._dynamo walks sys.modules with find_spec,
+    # which raises on __spec__ = None
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for key, val in attrs.items():
         setattr(mod, key, val)
     sys.modules[name] = mod
