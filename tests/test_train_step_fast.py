@@ -13,35 +13,44 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _get_flag(name):
+    # jax 0.9 exposes some flags only via config.values (attribute access
+    # raises AttributeError for Flag objects, unlike States)
+    return jax.config.values[name]
+
+
+def _tiny_acoustic_setup(slm_loss_fn=None):
+    import __graft_entry__ as graft
+
+    from stylish_tts_tpu.config import Config
+    from stylish_tts_tpu.models import build_model
+    from stylish_tts_tpu.trainer.init import init_all_params
+    from stylish_tts_tpu.trainer.normalization import NormalizationStats
+    from stylish_tts_tpu.trainer.state import create_train_state
+    from stylish_tts_tpu.trainer.steps import StepContext
+
+    mc = graft._small_model_config()
+    models = build_model(mc)
+    B, L, F = 2, 8, 40
+    params = init_all_params(
+        models, mc, jax.random.PRNGKey(0), frames=F, text_len=L
+    )
+    state = create_train_state(params, mc.text_encoder.tokens + 1)
+    cfg = Config()
+    ctx = StepContext(
+        models, mc, cfg.loss_weight.model_dump(), NormalizationStats(),
+        stage_steps=100, base_lr=1e-4, slm_loss_fn=slm_loss_fn,
+    )
+    return mc, ctx, state, (B, L, F)
+
+
 def test_acoustic_gd_step_tiny():
-    prev = jax.config.jax_disable_most_optimizations
+    prev = _get_flag("jax_disable_most_optimizations")
     jax.config.update("jax_disable_most_optimizations", True)
     try:
-        import __graft_entry__ as graft
+        from stylish_tts_tpu.trainer.steps import Batch, make_acoustic_step
 
-        from stylish_tts_tpu.config import Config
-        from stylish_tts_tpu.models import build_model
-        from stylish_tts_tpu.trainer.init import init_all_params
-        from stylish_tts_tpu.trainer.normalization import NormalizationStats
-        from stylish_tts_tpu.trainer.state import create_train_state
-        from stylish_tts_tpu.trainer.steps import (
-            Batch,
-            StepContext,
-            make_acoustic_step,
-        )
-
-        mc = graft._small_model_config()
-        models = build_model(mc)
-        B, L, F = 2, 8, 40
-        params = init_all_params(
-            models, mc, jax.random.PRNGKey(0), frames=F, text_len=L
-        )
-        state = create_train_state(params, mc.text_encoder.tokens + 1)
-        cfg = Config()
-        ctx = StepContext(
-            models, mc, cfg.loss_weight.model_dump(), NormalizationStats(),
-            stage_steps=100, base_lr=1e-4,
-        )
+        mc, ctx, state, (B, L, F) = _tiny_acoustic_setup()
         rng = np.random.default_rng(0)
         batch = Batch(
             jnp.asarray(
@@ -69,5 +78,46 @@ def test_acoustic_gd_step_tiny():
             0.0,
         )
         assert delta > 0.0
+    finally:
+        jax.config.update("jax_disable_most_optimizations", prev)
+
+
+def test_acoustic_gd_step_tiny_with_slm():
+    """Same tiny G+D program with the REAL frozen-WavLM slm term attached
+    (random-init params — structural, matching the reference's always-on
+    perceptual loss, reference losses.py:376-394 / stage_type.py:221-225).
+    Verifies the slm metric is finite, weighted into the backward, and
+    differentiable through the resampler + conv stack + 12 layers."""
+    prev = _get_flag("jax_disable_most_optimizations")
+    jax.config.update("jax_disable_most_optimizations", True)
+    try:
+        from stylish_tts_tpu.models.slm import WavLMEncoder, make_wavlm_loss
+        from stylish_tts_tpu.trainer.steps import Batch, make_acoustic_step
+
+        wavlm_params = WavLMEncoder().init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 4000), jnp.float32)
+        )
+        mc, ctx, state, (B, L, F) = _tiny_acoustic_setup(
+            slm_loss_fn=make_wavlm_loss(wavlm_params)
+        )
+        assert ctx.weights.get("slm", 0.0) > 0.0
+        rng = np.random.default_rng(0)
+        batch = Batch(
+            jnp.asarray(
+                (rng.standard_normal((B, F * mc.hop_length)) * 0.1)
+                .astype(np.float32)
+            ),
+            jnp.asarray(rng.integers(1, 170, (B, L)).astype(np.int32)),
+            jnp.full((B,), L, jnp.int32),
+            jnp.full((B, F), 120.0, jnp.float32),
+            jnp.full((B, L), F // L, jnp.int32),
+        )
+        step = jax.jit(make_acoustic_step(ctx))
+        new_state, metrics = step(state, batch)
+        jax.block_until_ready(metrics)
+        assert "slm" in metrics
+        for key in ("slm", "mel", "generator", "discriminator"):
+            assert np.isfinite(float(metrics[key])), (key, metrics[key])
+        assert float(metrics["slm"]) > 0.0
     finally:
         jax.config.update("jax_disable_most_optimizations", prev)
