@@ -10,9 +10,12 @@ error statistics.
 from __future__ import annotations
 
 import json
+import os.path as osp
 import sys
 
 import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def main():

@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+DCN_AXIS = "dcn"
 
 # (path regex, feature axis to shard): -1 = output features, -2 = input.
 # Rules come in megatron column/row pairs wherever an elementwise
@@ -128,6 +129,49 @@ def jit_2d_parallel_step(step_fn, state, mesh: Mesh):
     ("data", "model") mesh; batch sharded on data, params per rules."""
     st_shard = state_shardings(state, mesh)
     batch_shard = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        step_fn,
+        in_shardings=(st_shard, batch_shard),
+        out_shardings=(st_shard, repl),
+    )
+
+
+def make_hybrid_mesh(slices: int, data: int, model: int, devices=None) -> Mesh:
+    """("dcn", "data", "model") mesh for multi-slice TPU pods.
+
+    The leading axis crosses slice boundaries: it carries pure data
+    parallelism, so the only collective that rides DCN (the slow
+    inter-slice fabric) is the once-per-step gradient all-reduce.
+    "data" and "model" stay within a slice, so the per-layer
+    tensor-parallel all-reduces implied by the megatron rules ride ICI.
+    On real multi-slice hardware ``mesh_utils.create_hybrid_device_mesh``
+    orders devices so axis 0 maps to slice boundaries; single-slice or
+    virtual device lists fall back to a plain reshape (the axis
+    semantics are identical, only the physical placement differs).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = slices * data * model
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, data, model),
+            dcn_mesh_shape=(slices, 1, 1),
+            devices=devices[:n],
+        )
+    except Exception:
+        arr = np.asarray(devices[:n]).reshape(slices, data, model)
+    return Mesh(arr, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
+def jit_hybrid_parallel_step(step_fn, state, mesh: Mesh):
+    """jit a step over a ("dcn", "data", "model") mesh: batch sharded
+    jointly over both data axes, params per the model rules."""
+    st_shard = state_shardings(state, mesh)
+    batch_shard = NamedSharding(mesh, P((DCN_AXIS, DATA_AXIS)))
     repl = NamedSharding(mesh, P())
     return jax.jit(
         step_fn,

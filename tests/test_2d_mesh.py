@@ -14,7 +14,9 @@ from stylish_tts_tpu.models import build_model
 from stylish_tts_tpu.parallel.sharding_rules import (
     MODEL_AXIS,
     jit_2d_parallel_step,
+    jit_hybrid_parallel_step,
     make_2d_mesh,
+    make_hybrid_mesh,
     spec_for_leaf,
     state_shardings,
 )
@@ -91,6 +93,47 @@ def test_acoustic_step_on_2d_mesh():
     for key in ("mel", "multi_phase", "generator", "discriminator"):
         assert np.isfinite(float(metrics[key])), key
     # a model-sharded kernel actually lives sharded on the mesh
+    leaf = new_state.params["speech_predictor"]["params"]["generator"][
+        "basegen"
+    ]["phase_convnext_0"]["pwconv1"]["kernel"]
+    assert MODEL_AXIS in str(leaf.sharding)
+
+
+def test_acoustic_step_on_hybrid_multislice_mesh():
+    """2 slices (DCN) x 2 data x 2 model: the multi-slice pod layout.
+    Batch shards jointly over (dcn, data); tensor-parallel kernels over
+    model; the cross-slice collective is the gradient all-reduce only."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mc = small_mc()
+    models = build_model(mc)
+    params = init_all_params(models, mc, jax.random.PRNGKey(0))
+    state = create_train_state(params, mc.text_encoder.tokens + 1)
+    cfg = Config()
+    ctx = StepContext(
+        models, mc, cfg.loss_weight.model_dump(), NormalizationStats(),
+        stage_steps=100, base_lr=1e-4,
+    )
+    mesh = make_hybrid_mesh(slices=2, data=2, model=2)
+    state = jax.device_put(state, state_shardings(state, mesh))
+    step = jit_hybrid_parallel_step(make_acoustic_step(ctx), state, mesh)
+
+    B, L, F = 8, 10, 40
+    rng = np.random.default_rng(1)
+    batch = Batch(
+        jnp.asarray((rng.standard_normal((B, F * 300)) * 0.1).astype(np.float32)),
+        jnp.asarray(rng.integers(1, 170, (B, L)).astype(np.int32)),
+        jnp.full((B,), L, jnp.int32),
+        jnp.full((B, F), 120.0, jnp.float32),
+        jnp.full((B, L), F // L, jnp.int32),
+    )
+    batch = jax.device_put(
+        batch,
+        NamedSharding(mesh, jax.sharding.PartitionSpec(("dcn", "data"))),
+    )
+    new_state, metrics = step(state, batch)
+    for key in ("mel", "multi_phase", "generator", "discriminator"):
+        assert np.isfinite(float(metrics[key])), key
     leaf = new_state.params["speech_predictor"]["params"]["generator"][
         "basegen"
     ]["phase_convnext_0"]["pwconv1"]["kernel"]
