@@ -52,7 +52,9 @@ def _relative_position_buckets(q_len: int, k_len: int) -> np.ndarray:
     large = (max_exact + large * (num_buckets - max_exact)).astype(np.int64)
     large = np.minimum(large, num_buckets - 1)
     buckets += np.where(is_small, rel, large)
-    return buckets
+    # int32 so jnp.asarray under a jit trace is a no-op constant (an
+    # int64->int32 convert op would turn the table into a tracer)
+    return buckets.astype(np.int32)
 
 
 class WavLMEncoderLayer(nn.Module):
@@ -283,7 +285,12 @@ def resample_24k_to_16k(audio: jnp.ndarray) -> jnp.ndarray:
 def make_wavlm_loss(params, sample_rate: int = 24000):
     """Frozen WavLM L1 hidden-state loss (reference losses.py:382-394)."""
     model = WavLMEncoder()
-    frozen = jax.tree.map(jax.lax.stop_gradient, params)
+    # device-convert first: convert_torch_wavlm yields numpy leaves, and a
+    # numpy rel_attn_embed fancy-indexed by a traced bucket table raises
+    # TracerArrayConversionError inside jit
+    frozen = jax.tree.map(
+        lambda x: jax.lax.stop_gradient(jnp.asarray(x)), params
+    )
 
     def loss_fn(target_audio: jnp.ndarray, pred_audio: jnp.ndarray):
         target16 = resample_24k_to_16k(target_audio)

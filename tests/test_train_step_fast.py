@@ -97,6 +97,10 @@ def test_acoustic_gd_step_tiny_with_slm():
         wavlm_params = WavLMEncoder().init(
             jax.random.PRNGKey(1), jnp.zeros((1, 4000), jnp.float32)
         )
+        # numpy leaves — the production path (convert_torch_wavlm) hands
+        # make_wavlm_loss numpy, which once tripped a
+        # TracerArrayConversionError in the jitted step
+        wavlm_params = jax.tree.map(np.asarray, wavlm_params)
         mc, ctx, state, (B, L, F) = _tiny_acoustic_setup(
             slm_loss_fn=make_wavlm_loss(wavlm_params)
         )
