@@ -45,10 +45,13 @@ def main():
     cfg = Config()
     slm_loss_fn = None
     if args.slm:
-        from stylish_tts_tpu.trainer.loop import try_load_wavlm_loss
+        from stylish_tts_tpu.models.slm import wavlm_loss
+        from stylish_tts_tpu.trainer.loop import try_load_wavlm_params
 
-        slm_loss_fn = try_load_wavlm_loss(mc.slm.model)
-        assert slm_loss_fn is not None, "no WavLM weights available"
+        wavlm_params = try_load_wavlm_params(mc.slm.model)
+        assert wavlm_params is not None, "no WavLM weights available"
+        slm_loss_fn = wavlm_loss
+        state = state.replace(frozen={"wavlm": wavlm_params})
     ctx = StepContext(
         models, mc, cfg.loss_weight.model_dump(), NormalizationStats(),
         stage_steps=10000, base_lr=1e-4, mixed_precision=args.bf16,

@@ -282,24 +282,34 @@ def resample_24k_to_16k(audio: jnp.ndarray) -> jnp.ndarray:
     return out[:, :target]
 
 
-def make_wavlm_loss(params, sample_rate: int = 24000):
-    """Frozen WavLM L1 hidden-state loss (reference losses.py:382-394)."""
+def wavlm_loss(params, target_audio: jnp.ndarray, pred_audio: jnp.ndarray):
+    """Frozen WavLM L1 hidden-state loss (reference losses.py:382-394).
+
+    ``params`` is an explicit argument so the training step receives
+    the 95M WavLM weights as runtime buffers: closing over them embeds
+    ~380 MB of fp32 constants in the serialized HLO, which the axon
+    remote-compile tunnel rejects (HTTP 413).  In the trainer they ride
+    ``TrainState.frozen["wavlm"]``."""
     model = WavLMEncoder()
-    # device-convert first: convert_torch_wavlm yields numpy leaves, and a
-    # numpy rel_attn_embed fancy-indexed by a traced bucket table raises
-    # TracerArrayConversionError inside jit
     frozen = jax.tree.map(
         lambda x: jax.lax.stop_gradient(jnp.asarray(x)), params
     )
+    target16 = resample_24k_to_16k(target_audio)
+    pred16 = resample_24k_to_16k(pred_audio)
+    t_states = model.apply(frozen, jax.lax.stop_gradient(target16))
+    p_states = model.apply(frozen, pred16)
+    loss = 0.0
+    for ts, ps in zip(t_states, p_states):
+        loss = loss + jnp.mean(jnp.abs(jax.lax.stop_gradient(ts) - ps))
+    return loss / len(t_states)
+
+
+def make_wavlm_loss(params, sample_rate: int = 24000):
+    """Bind params eagerly (test/eager convenience; inside jit prefer
+    ``wavlm_loss`` with params as an argument — see its docstring)."""
+    params = jax.tree.map(jnp.asarray, params)
 
     def loss_fn(target_audio: jnp.ndarray, pred_audio: jnp.ndarray):
-        target16 = resample_24k_to_16k(target_audio)
-        pred16 = resample_24k_to_16k(pred_audio)
-        t_states = model.apply(frozen, jax.lax.stop_gradient(target16))
-        p_states = model.apply(frozen, pred16)
-        loss = 0.0
-        for ts, ps in zip(t_states, p_states):
-            loss = loss + jnp.mean(jnp.abs(jax.lax.stop_gradient(ts) - ps))
-        return loss / len(t_states)
+        return wavlm_loss(params, target_audio, pred_audio)
 
     return loss_fn

@@ -67,6 +67,10 @@ def save_checkpoint(
     )
     os.makedirs(path, exist_ok=True)
     ckpt = ocp.StandardCheckpointer()
+    # frozen aux weights (slm WavLM) are NOT ours to checkpoint — they're
+    # loadable from their own source and would add ~380 MB per save; the
+    # trainer re-attaches them at stage start (loop.run_stage)
+    state = state.replace(frozen={})
     ckpt.save(osp.abspath(osp.join(path, "state")), state, force=True)
     ckpt.wait_until_finished()
     with open(osp.join(path, "manifest.json"), "w", encoding="utf-8") as f:

@@ -32,6 +32,13 @@ class TrainState:
     prior_count: jnp.ndarray
     rng: jax.Array
     step: jnp.ndarray
+    # Frozen auxiliary weights (e.g. the slm WavLM) ride the state so
+    # they enter the jitted step as RUNTIME BUFFERS, not closure
+    # constants — a 95M-param fp32 closure bloats the serialized HLO
+    # past what the axon remote-compile tunnel accepts (HTTP 413) and
+    # would be re-uploaded per program.  Never optimized; stripped from
+    # checkpoints (trainer/checkpoint.py) and re-attached at stage start.
+    frozen: Dict[str, Any] = struct.field(default_factory=dict)
 
 
 def create_train_state(

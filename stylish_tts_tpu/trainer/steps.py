@@ -75,6 +75,8 @@ class StepContext:
         self.norm = normalization
         self.stage_steps = stage_steps
         self.base_lr = base_lr
+        # (params, target_audio, pred_audio) -> scalar; weights come from
+        # state.frozen["wavlm"] at call time (see TrainState.frozen)
         self.slm_loss_fn = slm_loss_fn
         self.axis_name = axis_name
 
@@ -406,7 +408,9 @@ def make_acoustic_step(ctx: StepContext):
                     )
                 )
             if ctx.slm_loss_fn is not None:
-                metrics["slm"] = ctx.slm_loss_fn(audio_t, pred.audio)
+                metrics["slm"] = ctx.slm_loss_fn(
+                    state.frozen["wavlm"], audio_t, pred.audio
+                )
             total = L.backwards_loss(metrics, ctx.weights)
             return total, (metrics, pred.audio, feats_p.fft_mag)
 

@@ -19,7 +19,7 @@ def _get_flag(name):
     return jax.config.values[name]
 
 
-def _tiny_acoustic_setup(slm_loss_fn=None):
+def _tiny_acoustic_setup(slm_loss_fn=None, frozen=None):
     import __graft_entry__ as graft
 
     from stylish_tts_tpu.config import Config
@@ -36,6 +36,8 @@ def _tiny_acoustic_setup(slm_loss_fn=None):
         models, mc, jax.random.PRNGKey(0), frames=F, text_len=L
     )
     state = create_train_state(params, mc.text_encoder.tokens + 1)
+    if frozen is not None:
+        state = state.replace(frozen=frozen)
     cfg = Config()
     ctx = StepContext(
         models, mc, cfg.loss_weight.model_dump(), NormalizationStats(),
@@ -86,23 +88,24 @@ def test_acoustic_gd_step_tiny_with_slm():
     """Same tiny G+D program with the REAL frozen-WavLM slm term attached
     (random-init params — structural, matching the reference's always-on
     perceptual loss, reference losses.py:376-394 / stage_type.py:221-225).
-    Verifies the slm metric is finite, weighted into the backward, and
-    differentiable through the resampler + conv stack + 12 layers."""
+    The weights ride TrainState.frozen["wavlm"] exactly as in the trainer
+    (runtime buffers, not closure constants).  Verifies the slm metric is
+    finite, weighted into the backward, and differentiable through the
+    resampler + conv stack + 12 layers."""
     prev = _get_flag("jax_disable_most_optimizations")
     jax.config.update("jax_disable_most_optimizations", True)
     try:
-        from stylish_tts_tpu.models.slm import WavLMEncoder, make_wavlm_loss
+        from stylish_tts_tpu.models.slm import WavLMEncoder, wavlm_loss
         from stylish_tts_tpu.trainer.steps import Batch, make_acoustic_step
 
         wavlm_params = WavLMEncoder().init(
             jax.random.PRNGKey(1), jnp.zeros((1, 4000), jnp.float32)
         )
-        # numpy leaves — the production path (convert_torch_wavlm) hands
-        # make_wavlm_loss numpy, which once tripped a
-        # TracerArrayConversionError in the jitted step
+        # numpy leaves — the production path (convert_torch_wavlm) yields
+        # numpy, which once tripped a TracerArrayConversionError in jit
         wavlm_params = jax.tree.map(np.asarray, wavlm_params)
         mc, ctx, state, (B, L, F) = _tiny_acoustic_setup(
-            slm_loss_fn=make_wavlm_loss(wavlm_params)
+            slm_loss_fn=wavlm_loss, frozen={"wavlm": wavlm_params}
         )
         assert ctx.weights.get("slm", 0.0) > 0.0
         rng = np.random.default_rng(0)
