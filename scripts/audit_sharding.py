@@ -7,6 +7,11 @@ Run CPU-only:
 
 from __future__ import annotations
 
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
 import numpy as np
 
 

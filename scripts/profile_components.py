@@ -6,6 +6,11 @@ multi-spectrogram, style encoder.  Run on the TPU.
 
 from __future__ import annotations
 
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
 import json
 import time
 

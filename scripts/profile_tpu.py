@@ -6,6 +6,11 @@ Run on the real chip (leave axon env intact):
 
 from __future__ import annotations
 
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
 import argparse
 import json
 import time
@@ -22,6 +27,11 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--slm", action="store_true",
                     help="enable the frozen-WavLM slm loss term")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the TrainState (the trainer's hot-loop "
+                    "configuration; halves steady-state TrainState HBM)")
+    ap.add_argument("--remat", action="store_true",
+                    help="generator remat + bf16 discs (memory-saver mode)")
     args = ap.parse_args()
 
     import jax
@@ -37,6 +47,8 @@ def main():
     )
 
     mc = ModelConfig()
+    if args.remat:
+        mc.generator.remat = True
     models = build_model(mc)
     rng = jax.random.PRNGKey(0)
     params = init_all_params(models, mc, rng)
@@ -69,10 +81,13 @@ def main():
         jnp.full((B, L), F // L, jnp.int32),
     )
 
-    step = jax.jit(make_acoustic_step(ctx), donate_argnums=())
+    step = jax.jit(
+        make_acoustic_step(ctx),
+        donate_argnums=(0,) if args.donate else (),
+    )
 
     t0 = time.perf_counter()
-    new_state, metrics = step(state, batch)
+    state, metrics = step(state, batch)
     jax.block_until_ready(metrics)
     compile_s = time.perf_counter() - t0
     print(f"compile+first step: {compile_s:.1f}s")
