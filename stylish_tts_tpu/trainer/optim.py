@@ -55,10 +55,16 @@ def apply_module_update(
     return optax.apply_updates(params, updates), new_state
 
 
-def cosine_lr(base_lr: float, step: jnp.ndarray, stage_steps: int) -> jnp.ndarray:
+def cosine_lr(base_lr, step: jnp.ndarray, stage_steps) -> jnp.ndarray:
     """Cosine decay over the stage, expressed in 10k logical steps with a
-    plateau at 90% (reference optimizers.py:96-103)."""
-    logical = step * LOGICAL_STEP_LIMIT // max(stage_steps, 1)
+    plateau at 90% (reference optimizers.py:96-103).
+
+    ``base_lr`` / ``stage_steps`` may be python scalars or traced arrays —
+    the trainer passes them from ``TrainState.frozen["schedule"]`` so the
+    compiled step is reusable across stage lengths and LRs (as python
+    constants every epochs/lr change costs a full recompile, ~5-17 min
+    through the axon remote-compile tunnel)."""
+    logical = step * LOGICAL_STEP_LIMIT // jnp.maximum(stage_steps, 1)
     logical = jnp.minimum(logical, int(LOGICAL_STEP_LIMIT * PLATEAU))
     progress = logical.astype(jnp.float32) / LOGICAL_STEP_LIMIT
     return base_lr * 0.5 * (1.0 + jnp.cos(math.pi * progress))

@@ -121,6 +121,16 @@ class StepContext:
         return jax.lax.pmean(tree, self.axis_name)
 
 
+def _schedule_lr(ctx: StepContext, state: TrainState) -> jnp.ndarray:
+    """Cosine LR from state.frozen["schedule"] when the trainer attached it
+    (traced scalars -> the compiled program is reusable across stage
+    lengths/LRs), else from the ctx constants (tests/benches)."""
+    sched = state.frozen.get("schedule")
+    if sched is None:
+        return cosine_lr(ctx.base_lr, state.step, ctx.stage_steps)
+    return cosine_lr(sched["base_lr"], state.step, sched["stage_steps"])
+
+
 def _cast_f32(tree, dtype):
     """Cast float32 leaves to the compute dtype (master params stay fp32;
     gradients flow back through the cast in fp32)."""
@@ -204,7 +214,7 @@ def make_alignment_step(ctx: StepContext, use_pallas: Optional[bool] = None):
         (loss, log_probs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params["text_aligner"]
         )
-        lr = cosine_lr(ctx.base_lr, state.step, ctx.stage_steps)
+        lr = _schedule_lr(ctx, state)
         params = dict(state.params)
         opt_state = dict(state.opt_state)
         g = ctx.pmean(grads)
@@ -419,7 +429,7 @@ def make_acoustic_step(ctx: StepContext):
             gen_loss_fn, has_aux=True
         )(train_params)
 
-        lr = cosine_lr(ctx.base_lr, state.step, ctx.stage_steps)
+        lr = _schedule_lr(ctx, state)
         params, opt_state = _apply_updates(ctx, state, grads, train_names, lr)
 
         # --- discriminator phase on detached outputs ---
@@ -516,7 +526,7 @@ def make_textual_step(ctx: StepContext):
         (_, (metrics, pitchcat, pred_pitchcat)), grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True
         )(train_params)
-        lr = cosine_lr(ctx.base_lr, state.step, ctx.stage_steps)
+        lr = _schedule_lr(ctx, state)
         params, opt_state = _apply_updates(ctx, state, grads, train_names, lr)
 
         # --- pitch discriminator phase ---
@@ -604,7 +614,7 @@ def make_duration_step(ctx: StepContext, duration_class_weights):
         (_, (metrics, duration)), grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True
         )(train_params)
-        lr = cosine_lr(ctx.base_lr, state.step, ctx.stage_steps)
+        lr = _schedule_lr(ctx, state)
         params, opt_state = _apply_updates(ctx, state, grads, train_names, lr)
 
         def disc_loss_fn(disc_params):

@@ -46,6 +46,30 @@ def _tiny_acoustic_setup(slm_loss_fn=None, frozen=None):
     return mc, ctx, state, (B, L, F)
 
 
+def test_schedule_lr_from_frozen_state():
+    """LR schedule scalars ride state.frozen["schedule"] (traced, so the
+    compiled program is reusable across stage lengths/LRs); ctx constants
+    are the fallback."""
+    from stylish_tts_tpu.trainer.optim import cosine_lr
+    from stylish_tts_tpu.trainer.state import create_train_state
+    from stylish_tts_tpu.trainer.steps import _schedule_lr
+
+    class Ctx:
+        stage_steps = 100
+        base_lr = 1e-4
+
+    state = create_train_state({}, 5).replace(step=jnp.asarray(30, jnp.int32))
+    np.testing.assert_allclose(
+        _schedule_lr(Ctx, state), cosine_lr(1e-4, 30, 100), rtol=1e-6
+    )
+    state2 = state.replace(frozen={"schedule": {
+        "stage_steps": jnp.asarray(200, jnp.int32),
+        "base_lr": jnp.asarray(2e-4, jnp.float32),
+    }})
+    got = jax.jit(lambda s: _schedule_lr(Ctx, s))(state2)
+    np.testing.assert_allclose(got, cosine_lr(2e-4, 30, 200), rtol=1e-6)
+
+
 def test_acoustic_gd_step_tiny():
     prev = _get_flag("jax_disable_most_optimizations")
     jax.config.update("jax_disable_most_optimizations", True)
