@@ -29,8 +29,12 @@ import numpy as np
 
 def _np(x) -> np.ndarray:
     if hasattr(x, "detach"):  # torch tensor without importing torch
-        x = x.detach().cpu().numpy()
-    return np.asarray(x, dtype=np.float32)
+        # .numpy() SHARES memory with the live torch parameter: a later
+        # in-place optimizer update on the torch side would silently
+        # rewrite the "converted" weights before jax materializes them
+        # on device. Always copy.
+        x = x.detach().cpu().numpy().copy()
+    return np.array(x, dtype=np.float32, copy=True)
 
 
 def fold_weight_norm(g: np.ndarray, v: np.ndarray) -> np.ndarray:

@@ -108,10 +108,20 @@ def magphase_loss(
 DISC_AUDIO_WEIGHT = 3.0  # reference losses.py:14 disc_weight
 
 
+def _median_lower(x: jnp.ndarray) -> jnp.ndarray:
+    """torch.median semantics: the LOWER of the two middle order statistics
+    for even-sized inputs (jnp.median averages them). The median value
+    shifts the TPRLS truncation mask, so matching the reference's
+    element-vs-average choice matters for training-trajectory parity
+    (tests/test_train_parity_trajectory.py)."""
+    flat = x.reshape(-1)
+    return jnp.sort(flat)[(flat.size - 1) // 2]
+
+
 def _tprls(real: jnp.ndarray, fake: jnp.ndarray, tau: float = 0.04) -> jnp.ndarray:
     """Relativistic truncated pairing loss (masked-mean formulation)."""
     diff = real - fake
-    m = jnp.median(diff)
+    m = _median_lower(diff)
     keep = (real < fake + m).astype(jnp.float32)
     sq = jnp.square(diff - m) * keep
     l_rel = jnp.sum(sq) / (sq.size + 1e-9)
@@ -122,7 +132,7 @@ def _tprls_gen(real: jnp.ndarray, fake: jnp.ndarray, tau: float = 0.04) -> jnp.n
     # generator-side variant (reference losses.py:354-361 swaps roles and
     # uses a masked mean instead of a masked sum/total-size)
     diff = fake - real
-    m = jnp.median(diff)
+    m = _median_lower(diff)
     keep = (fake < real + m).astype(jnp.float32)
     sq = jnp.square(diff - m) * keep
     l_rel = jnp.sum(sq) / (jnp.sum(keep) + 1e-9)

@@ -126,7 +126,8 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(
-        self, mel, style, pitch, voiced, *, rng: jax.Array, prior=None
+        self, mel, style, pitch, voiced, *, rng: jax.Array, prior=None,
+        deterministic_prior: bool = False,
     ):
         """mel: (B, frames, input_dim); pitch/voiced: (B, frames) at frame rate.
 
@@ -153,6 +154,7 @@ class Generator(nn.Module):
                 hop_length=self.hop_length,
                 harmonic_num=8,
                 voiced_threshold=10.0,
+                deterministic=deterministic_prior,
                 name="source",
             )(pitch * voiced, rng)
         else:
@@ -285,6 +287,7 @@ class MultiGenerator(nn.Module):
         rng: jax.Array,
         training: bool = False,
         prior=None,  # optional precomputed harmonic excitation (B, frames*hop)
+        deterministic_prior: bool = False,  # zero sine-source noise/phase
     ) -> DecoderPrediction:
         hidden_dim = self.n_fft // 2
         x = Conv1d(
@@ -317,5 +320,8 @@ class MultiGenerator(nn.Module):
             upsample_rates=(3, 5, 5),
             remat=self.config.remat,
             name="basegen",
-        )(x, style, pitch, voiced, rng=rng, prior=prior)
+        )(
+            x, style, pitch, voiced, rng=rng, prior=prior,
+            deterministic_prior=deterministic_prior,
+        )
         return DecoderPrediction(audio=jnp.tanh(audio))

@@ -35,6 +35,8 @@ class SpeechPredictor(nn.Module):
         rng: jax.Array,
         training: bool = False,
         prior=None,  # optional precomputed harmonic excitation
+        augment: bool = True,  # F0/N smoothing aug (when training)
+        deterministic_prior: bool = False,  # zero sine-source noise/phase
     ) -> DecoderPrediction:
         mc = self.model_config
         text_encoding, _, _ = TextEncoder(
@@ -56,7 +58,10 @@ class SpeechPredictor(nn.Module):
             hidden_dim=mc.decoder.hidden_dim,
             residual_dim=mc.decoder.residual_dim,
             name="decoder",
-        )(asr, pitch, energy, style, voiced, training=training, smooth_rng=smooth_rng)
+        )(
+            asr, pitch, energy, style, voiced, training=training,
+            smooth_rng=smooth_rng if augment else None,
+        )
 
         if mc.generator.type == "ringformer":
             from .ringformer import UpsampleGenerator
@@ -86,7 +91,11 @@ class SpeechPredictor(nn.Module):
                 config=mc.generator,
                 name="generator",
             )
-        kwargs = {} if mc.generator.type == "ringformer" else {"prior": prior}
+        kwargs = (
+            {}
+            if mc.generator.type == "ringformer"
+            else {"prior": prior, "deterministic_prior": deterministic_prior}
+        )
         return gen(
             mel=mel,
             style=style,

@@ -49,6 +49,10 @@ class Batch(NamedTuple):
     text_lengths: jnp.ndarray  # (B,)
     pitch: jnp.ndarray  # (B, F) float32 F0 Hz
     durations: jnp.ndarray  # (B, L) int32 frames per token
+    # optional precomputed GT WavLM hidden states (B, 13, T, 768) f16
+    # from the slm cache (dataprep/slm_cache.py); None -> the step
+    # embeds GT audio in-line
+    slm_gt: Optional[jnp.ndarray] = None
 
 
 class StepContext:
@@ -57,7 +61,23 @@ class StepContext:
     def __init__(self, models, model_config, loss_weights, normalization,
                  stage_steps: int = 10_000, base_lr: float = 1e-4,
                  slm_loss_fn=None, axis_name: Optional[str] = None,
-                 mixed_precision: bool = False):
+                 mixed_precision: bool = False,
+                 parity_deterministic: bool = False,
+                 parity_prior=None):
+        # parity_deterministic: neutralize per-step stochastic augmentation
+        # (decoder F0/N smoothing, sine-source phase/noise) so the step's
+        # trajectory can be compared 1:1 against the torch reference driven
+        # with the same neutralizations (tests/test_train_parity_trajectory).
+        # parity_prior: fixed broadband excitation injected in place of the
+        # harmonic sine prior. The prior is stop-gradient on both frameworks
+        # and its *phase spectrum* feeds the generator through atan2 — for a
+        # harmonic signal most STFT bins are ~0 and their phase is pure
+        # round-off noise, so no two STFT implementations can agree there.
+        # A broadband injection keeps every bin well-conditioned; the
+        # harmonic prior itself is golden-tested separately.
+        # Never used in production training.
+        self.parity_deterministic = parity_deterministic
+        self.parity_prior = parity_prior
         self.compute_dtype = jnp.bfloat16 if mixed_precision else jnp.float32
         # Discriminator precision: bf16 32-channel convs are ~30% slower on
         # the MXU than fp32 here, but halve their (4x-tile-padded) HBM
@@ -378,12 +398,19 @@ def make_acoustic_step(ctx: StepContext):
                 style_mel.astype(dt),
             )
             voiced = (pitch > 20.0).astype(dt)
+            # parity mode disables the per-step stochastic regularizers
+            # (dropout, decoder F0/N smoothing, sine-source phase/noise):
+            # they draw from framework-specific RNG streams and can never
+            # agree with the torch reference draw-for-draw. The torch side
+            # of the harness runs in eval mode for the same reason.
             pred = ctx.models["speech_predictor"].apply(
                 cast_params["speech_predictor"],
                 batch.text, batch.text_lengths, alignment.astype(dt),
                 pitch.astype(dt), energy.astype(dt), voiced, style,
                 pitch.astype(dt),
-                rng=r_model, training=True,
+                rng=r_model, training=not ctx.parity_deterministic,
+                deterministic_prior=ctx.parity_deterministic,
+                prior=ctx.parity_prior,
                 rngs={"dropout": r_drop},
             )
             feats_p = ctx.multi_spec(pred.audio)

@@ -18,4 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env-var write above is not always enough: the ambient environment
+# may export JAX_PLATFORMS=axon and register the TPU PJRT plugin from
+# sitecustomize before conftest runs, in which case jax's config has
+# already captured the env value. Forcing the config directly wins as
+# long as no backend has been initialized yet (nothing in this process
+# touches devices before pytest imports conftest).
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -65,6 +65,14 @@ def load_reference_models():
             nvmlDeviceGetMemoryInfo=lambda h: None,
         )
         _stub("onnxruntime")
+        # dataloader.py:4 — imported transitively by loss_log/train_context;
+        # the trajectory-parity harness never touches file IO
+        _stub(
+            "soundfile",
+            read=None,
+            info=None,
+            write=None,
+        )
 
         # librosa: only filters.mel is used (rmvpe/spec.py:4); provide the
         # equivalent htk+slaney filterbank so the reference model imports.
