@@ -87,7 +87,15 @@ def train_align(config_path, model_config_path, out_dir, checkpoint):
 @click.option("--config", "config_path", required=True, type=click.Path(exists=True))
 @click.option("--model-config", "model_config_path", type=click.Path(exists=True))
 @click.option("--out", "out_dir", required=True, type=click.Path())
-def align(config_path, model_config_path, out_dir):
+@click.option(
+    "--method",
+    type=click.Choice(["k2", "torch"], case_sensitive=False),
+    default="k2",
+    help="Duration attribution: 'k2' gives leading/trailing silence to "
+    "the pad tokens (reference default, train/cli.py:130-133); 'torch' "
+    "leaves blanks with the preceding token.",
+)
+def align(config_path, model_config_path, out_dir, method):
     """Generate the forced-alignment cache for both splits."""
     from .dataprep.align import calculate_alignments, write_alignment_outputs
     from .trainer.loop import Trainer
@@ -109,7 +117,7 @@ def align(config_path, model_config_path, out_dir):
     for split, ds in (("train", train_ds), ("val", val_ds)):
         durations[split], confidences[split] = calculate_alignments(
             ds, trainer.models["text_aligner"], params, model_config,
-            trainer.normalization,
+            trainer.normalization, method=method.lower(),
         )
     write_alignment_outputs(
         out_dir, trainer.data_path(config.dataset.alignment_path),
@@ -369,10 +377,20 @@ def convert(config_path, model_config_path, checkpoint, out_dir, stablehlo):
             pitch_log2_mean = float(np.log2(allp).mean())
             pitch_log2_std = float(max(np.log2(allp).std(), 1e-6))
 
+    # frames-per-token quantiles over the alignment cache so serving
+    # warmup compiles the frame buckets real utterances hit
+    duration_stats = None
+    align_path = trainer.data_path(config.dataset.alignment_path)
+    if osp.isfile(align_path):
+        from .data.caches import load_cache
+        from .export.package import duration_stats_from_cache
+
+        duration_stats = duration_stats_from_cache(load_cache(align_path))
+
     export_checkpoint(
         state.params, model_config, norm, out_dir,
         pitch_log2_mean=pitch_log2_mean, pitch_log2_std=pitch_log2_std,
-        emit_stablehlo=stablehlo,
+        emit_stablehlo=stablehlo, duration_stats=duration_stats,
     )
     click.echo(f"wrote inference package to {out_dir}")
 

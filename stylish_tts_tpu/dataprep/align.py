@@ -30,6 +30,49 @@ from ..trainer.normalization import NormalizationStats
 logger = logging.getLogger("stylish_tts_tpu")
 
 
+def k2_pad_attribution(
+    onsets: np.ndarray,  # (T,) bool: token-onset frames (inner tokens)
+    argmax_blank: np.ndarray,  # (T,) bool: posterior argmax is blank/silence
+    total_frames: int,
+) -> np.ndarray:
+    """The reference's DEFAULT duration attribution (``--method k2``):
+    numpy port of the prefix/suffix pad-silence heuristic at
+    align_text.py:417-475.
+
+    k2 treats the pad symbol (id 0) as blank, so forced alignment runs
+    over the INNER tokens only and this post-processing re-synthesizes
+    the pad durations: leading silence goes to the prefix pad, each
+    inner token owns its onset frame plus the silence after it, the
+    LAST token's length is read from the posterior argmax (first
+    predicted-silence frame after its onset), and whatever remains goes
+    to the suffix pad.  Returns [prefix, inner..., suffix] durations.
+    """
+    token_idx = np.nonzero(onsets[:total_frames])[0]
+    if token_idx.size == 0:
+        # reference align_text.py:420-423: untrained model fallback
+        return np.asarray([total_frames], np.float32)
+    first_idx, last_idx = int(token_idx[0]), int(token_idx[-1])
+    prefix_dur = first_idx
+    token_durs = []
+    current = 0
+    for t in range(first_idx, last_idx):
+        if onsets[t]:
+            if current > 0:
+                token_durs.append(current)
+            current = 1
+        else:
+            current += 1
+    if current > 0 and token_idx.size > 1:
+        token_durs.append(current)
+    tail = argmax_blank[last_idx:total_frames]
+    sil = np.nonzero(tail)[0]
+    last_dur = int(sil[0]) if sil.size else int(tail.size)
+    last_dur = max(1, last_dur)
+    token_durs.append(last_dur)
+    suffix_dur = max(0, total_frames - (last_idx + last_dur))
+    return np.asarray([prefix_dur] + token_durs + [suffix_dur], np.float32)
+
+
 def calculate_alignments(
     dataset,
     aligner_model,
@@ -37,8 +80,18 @@ def calculate_alignments(
     model_config,
     normalization: NormalizationStats,
     batch_size: int = 8,
+    method: str = "k2",
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, float]]:
-    """Returns ({wav_path: (1, n_tokens) durations}, {wav_path: confidence})."""
+    """Returns ({wav_path: (1, n_tokens) durations}, {wav_path: confidence}).
+
+    method: "k2" (the reference default, train/cli.py:130-133) aligns the
+    inner tokens and attributes leading/trailing silence to the pad
+    tokens via ``k2_pad_attribution``; "torch" aligns the full padded
+    sequence and leaves blanks with the preceding token
+    (align_text.py:330-349).
+    """
+    if method not in ("k2", "torch"):
+        raise ValueError(f"unknown align method {method!r}")
     mc = model_config
     to_align_mel = MelSpectrogram(
         n_mels=mc.text_aligner.n_mels, n_fft=mc.text_aligner.n_fft,
@@ -57,10 +110,24 @@ def calculate_alignments(
         mel = jnp.moveaxis(mel[:, :, :frames], 1, 2)
         lengths = jnp.full((mel.shape[0],), frames, jnp.int32)
         log_probs = aligner_model.apply(aligner_params, mel, lengths)
-        return ctc_forced_align(
-            log_probs, lengths, text, text_lengths,
-            blank_id=mc.text_encoder.tokens,
+        blank_id = mc.text_encoder.tokens
+        if method == "k2":
+            # inner tokens only: strip the prefix pad (position 0) and
+            # mask out the suffix pad via the shortened label lengths
+            inner = jnp.concatenate(
+                [text[:, 1:], jnp.zeros_like(text[:, :1])], axis=1
+            )
+            res = ctc_forced_align(
+                log_probs, lengths,
+                inner, jnp.maximum(text_lengths - 2, 1),
+                blank_id=blank_id,
+            )
+            arg_blank = jnp.argmax(log_probs, axis=-1) == blank_id
+            return res, arg_blank
+        res = ctc_forced_align(
+            log_probs, lengths, text, text_lengths, blank_id=blank_id
         )
+        return res, jnp.zeros(log_probs.shape[:2], bool)
 
     bins, _ = dataset.time_bins()
     durations: Dict[str, np.ndarray] = {}
@@ -72,15 +139,36 @@ def calculate_alignments(
             batch, paths = collate_batch(
                 items, hop_length=mc.hop_length, require_pitch=False
             )
-            res = align_batch(
+            res, arg_blank = align_batch(
                 jnp.asarray(batch.audio_gt), jnp.asarray(batch.text),
                 jnp.asarray(batch.text_lengths),
             )
             durs = np.asarray(res.durations)
             scores = np.asarray(res.scores)
+            onsets = np.asarray(res.onsets)
+            arg_blank = np.asarray(arg_blank)
+            frames_total = onsets.shape[1]
             for k, path in enumerate(paths):
                 n = int(batch.text_lengths[k])
-                durations[path] = durs[k : k + 1, :n].astype(np.float32)
+                if method == "k2":
+                    d = k2_pad_attribution(
+                        onsets[k], arg_blank[k], frames_total
+                    )
+                    if d.shape[0] != n:
+                        # only reachable via the untrained-model fallback
+                        # (no onset frames): fall back to the Viterbi
+                        # inner-token attribution with zero-length pads
+                        logger.warning(
+                            "k2 attribution length %d != text length %d "
+                            "for %s; falling back to Viterbi attribution",
+                            d.shape[0], n, path,
+                        )
+                        d = np.concatenate(
+                            [[0.0], durs[k, : n - 2], [0.0]]
+                        ).astype(np.float32)
+                    durations[path] = d[None, :].astype(np.float32)
+                else:
+                    durations[path] = durs[k : k + 1, :n].astype(np.float32)
                 confidences[path] = float(np.exp(scores[k]))
                 if confidences[path] < 0.1:
                     logger.warning(

@@ -131,6 +131,7 @@ class ForcedAlignResult(NamedTuple):
     frame_tokens: jnp.ndarray  # (B, T) token index per frame (-1 past length)
     durations: jnp.ndarray  # (B, U) frames per token
     scores: jnp.ndarray  # (B,) mean per-frame log-prob of the best path
+    onsets: jnp.ndarray  # (B, T) bool: first frame of each token's label state
 
 
 def ctc_forced_align(
@@ -144,13 +145,16 @@ def ctc_forced_align(
 
     Replaces k2 intersect_dense + shortest_path
     (reference: losses.py:579-615) and torchaudio forced_align
-    (align_text.py:315-404).  Blank frames are attributed to the
-    *preceding* token and leading silence to the first token, exactly
-    matching the reference's active attribution loop
-    (align_text.py:330-349: text_index advances only when a new
-    non-blank token starts, so blanks stay with the current token).
-    The prefix/suffix heuristic at align_text.py:407-475 belongs to the
-    dead k2 path and is not replicated.
+    (align_text.py:315-404).  The `durations` attribution matches the
+    reference's `--method torch` loop (align_text.py:330-349: blank
+    frames stay with the *preceding* token, leading silence clips to
+    the first token).  The reference's DEFAULT `--method k2` path
+    (train/cli.py:130-133 -> align_text.py:251 k2_align) instead
+    re-attributes leading/trailing silence to the prefix/suffix pad
+    tokens — that post-processing lives in
+    `dataprep/align.py::k2_pad_attribution`, built from the `onsets`
+    mask returned here (k2's aux_labels mark each token once, at the
+    frame its label state is first entered — exactly this mask).
     """
     log_probs = log_probs.astype(jnp.float32)
     b, t_max, _ = log_probs.shape
@@ -223,8 +227,17 @@ def ctc_forced_align(
     ).astype(jnp.int32)
     durations = jnp.sum(onehot, axis=1)
 
+    # token onsets: first frame of each (odd) label state — the exact
+    # semantics of k2's per-frame aux_labels (one non-epsilon emission
+    # per token, on the arc entering its state)
+    label_state = states % 2 == 1
+    changed = jnp.concatenate(
+        [jnp.ones((b, 1), bool), states[:, 1:] != states[:, :-1]], axis=1
+    )
+    onsets = label_state & changed & frame_valid
+
     scores = best_ll / jnp.maximum(input_lengths, 1)
-    return ForcedAlignResult(frame_tokens, durations, scores)
+    return ForcedAlignResult(frame_tokens, durations, scores, onsets)
 
 
 def accumulate_label_priors(

@@ -244,3 +244,50 @@ def test_forced_align_attribution_matches_reference_loop():
         got = np.asarray(res.durations[b][: lab_len[b]])
         assert got.sum() == in_len[b]
         np.testing.assert_array_equal(got, want)
+
+
+def test_k2_pad_attribution_matches_reference_heuristic():
+    """The reference-default `--method k2` attribution (align_text.py:
+    407-475): leading silence -> prefix pad, each inner token owns its
+    frames plus the silence after it, the last token's extent comes from
+    the posterior argmax, the rest -> suffix pad."""
+    from stylish_tts_tpu.dataprep.align import k2_pad_attribution
+
+    b, c, blank = 1, 10, 9
+    # frames: 0-3 silence | 4-6 tok2 | 7-9 silence | 10-12 tok5 | 13-19 sil
+    t = 20
+    logits = np.full((b, t, c), -8.0, dtype=np.float32)
+    logits[0, :, blank] = 8.0
+    logits[0, 4:7, :] = -8.0
+    logits[0, 4:7, 2] = 8.0
+    logits[0, 10:13, :] = -8.0
+    logits[0, 10:13, 5] = 8.0
+    log_probs = torch.log_softmax(torch.from_numpy(logits), -1).numpy()
+    inner = np.array([[2, 5]], dtype=np.int32)
+    res = ctc_forced_align(
+        jnp.asarray(log_probs), jnp.asarray([t], np.int32),
+        jnp.asarray(inner), jnp.asarray([2], np.int32), blank_id=blank,
+    )
+    onsets = np.asarray(res.onsets)[0]
+    assert onsets.sum() == 2
+    arg_blank = np.asarray(log_probs).argmax(-1)[0] == blank
+    durs = k2_pad_attribution(onsets, arg_blank, t)
+    # [prefix=4, tok2 = 3 frames + 3 trailing silence = 6,
+    #  tok5 = argmax-silence onset 3 frames after its start, suffix=7]
+    np.testing.assert_array_equal(durs, [4.0, 6.0, 3.0, 7.0])
+    assert durs.sum() == t
+
+    # single-inner-token shape: [prefix, tok, suffix]
+    res1 = ctc_forced_align(
+        jnp.asarray(log_probs), jnp.asarray([t], np.int32),
+        jnp.asarray([[2, 0]], np.int32), jnp.asarray([1], np.int32),
+        blank_id=blank,
+    )
+    durs1 = k2_pad_attribution(
+        np.asarray(res1.onsets)[0], arg_blank, t
+    )
+    assert durs1.shape == (3,) and durs1.sum() == t
+
+    # no-onset fallback (untrained model): single catch-all duration
+    empty = np.zeros(t, bool)
+    assert k2_pad_attribution(empty, arg_blank, t).tolist() == [float(t)]
