@@ -35,11 +35,14 @@ cfg = {
   "validation": {"sample_count": 4},
 }
 open(os.path.join(work, "config.yml"), "w").write(yaml.dump(cfg))
+# explicit opt-in to the structural-only random WavLM (zero egress)
+open(os.path.join(work, "model.yml"), "w").write(
+    yaml.dump({"slm": {"allow_random_fallback": True}}))
 print("formant fixture ready")
 EOF
 
 RUN="python -m stylish_tts_tpu.cli"   # ambient env: real TPU
-CFG="--config $WORK/config.yml"
+CFG="--config $WORK/config.yml --model-config $WORK/model.yml"
 
 $RUN pitch $CFG --out "$WORK/out"
 $RUN train-align $CFG --out "$WORK/out"

@@ -45,7 +45,7 @@ def bench(slm: bool, batch: int, iters: int = 10):
     if slm:
         from stylish_tts_tpu.models.slm import wavlm_loss
 
-        wavlm_params = try_load_wavlm_params("microsoft/wavlm-base-plus")
+        wavlm_params = try_load_wavlm_params("microsoft/wavlm-base-plus", allow_random_fallback=True)
         if wavlm_params is None:
             raise SystemExit("no WavLM weights; run scripts/make_random_wavlm.py")
         slm_loss_fn = wavlm_loss

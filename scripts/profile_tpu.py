@@ -60,7 +60,7 @@ def main():
         from stylish_tts_tpu.models.slm import wavlm_loss
         from stylish_tts_tpu.trainer.loop import try_load_wavlm_params
 
-        wavlm_params = try_load_wavlm_params(mc.slm.model)
+        wavlm_params = try_load_wavlm_params(mc.slm.model, allow_random_fallback=True)
         assert wavlm_params is not None, "no WavLM weights available"
         slm_loss_fn = wavlm_loss
         state = state.replace(frozen={"wavlm": wavlm_params})

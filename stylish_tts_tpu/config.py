@@ -63,6 +63,10 @@ class DatasetConfig(BaseModel):
     pitch_path: str = "pitch.safetensors"
     alignment_path: str = "alignment.safetensors"
     alignment_model_path: str = "alignment_model.safetensors"
+    # optional precomputed GT WavLM-embedding cache (`stylish-train
+    # slm-cache`); when the file exists the acoustic step trains the
+    # slm loss against it instead of re-embedding GT audio every step
+    slm_path: str = "slm.safetensors"
 
 
 class ValidationConfig(BaseModel):
@@ -186,6 +190,13 @@ class PitchEnergyPredictorConfig(BaseModel):
 class SlmConfig(BaseModel):
     model: str = "microsoft/wavlm-base-plus"
     sr: int = 16000
+    # Opt-in: fall back to a random-init WavLM when the pretrained
+    # weights are not locally available. Off by default — a random
+    # perceptual net silently changes training semantics, so like the
+    # reference (losses.py:376-394 would fail in from_pretrained) a
+    # missing model with slm weight > 0 is an error unless the user
+    # explicitly asks for the structural-only fallback.
+    allow_random_fallback: bool = False
 
 
 class SymbolConfig(BaseModel):

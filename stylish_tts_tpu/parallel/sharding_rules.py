@@ -154,6 +154,9 @@ def make_hybrid_mesh(slices: int, data: int, model: int, devices=None) -> Mesh:
         devices = jax.devices()
     n = slices * data * model
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    multi_slice = (
+        len({getattr(d, "slice_index", 0) or 0 for d in devices[:n]}) > 1
+    )
     try:
         from jax.experimental import mesh_utils
 
@@ -163,6 +166,18 @@ def make_hybrid_mesh(slices: int, data: int, model: int, devices=None) -> Mesh:
             devices=devices[:n],
         )
     except Exception:
+        if multi_slice:
+            # A plain reshape on real multi-slice hardware can place the
+            # per-layer tensor-parallel axis across DCN — a severe,
+            # silent step-time regression. Surface it loudly.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "create_hybrid_device_mesh failed on a multi-slice device "
+                "set; falling back to a plain reshape. The 'model' axis "
+                "may span DCN — expect degraded step time.",
+                exc_info=True,
+            )
         arr = np.asarray(devices[:n]).reshape(slices, data, model)
     return Mesh(arr, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
 

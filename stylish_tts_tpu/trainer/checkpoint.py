@@ -18,7 +18,7 @@ import json
 import os
 import os.path as osp
 import shutil
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, fields
 from typing import Optional
 
 import jax
@@ -94,13 +94,30 @@ def load_checkpoint(
     path: str, abstract_state: TrainState
 ) -> tuple[TrainState, Manifest, NormalizationStats]:
     ckpt = ocp.StandardCheckpointer()
+    # frozen aux weights are stripped at save time (see save_checkpoint),
+    # so the restore target must not carry the caller's live frozen tree;
+    # the trainer re-attaches it after restore.
     target = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
         if hasattr(x, "shape")
         else x,
-        abstract_state,
+        abstract_state.replace(frozen={}),
     )
-    state = ckpt.restore(osp.abspath(osp.join(path, "state")), target)
+    state_path = osp.abspath(osp.join(path, "state"))
+    try:
+        state = ckpt.restore(state_path, target)
+    except Exception:
+        # Checkpoints written before TrainState grew the `frozen` field
+        # have no such node at all; restore field-by-field into a plain
+        # dict and rebuild the dataclass (resume is the documented
+        # recovery path — never fail it on a pytree-structure detail).
+        legacy_target = {
+            f.name: getattr(target, f.name)
+            for f in fields(target)
+            if f.name != "frozen"
+        }
+        restored = ckpt.restore(state_path, legacy_target)
+        state = TrainState(frozen={}, **restored)
     with open(osp.join(path, "manifest.json"), "r", encoding="utf-8") as f:
         manifest = Manifest.from_json(f.read())
     norm = NormalizationStats.load(osp.join(path, "normalization.json"))

@@ -84,22 +84,28 @@ def setup_stage_logging(out_dir: str) -> None:
     logger.addHandler(fh)
 
 
-def try_load_wavlm_params(model_name: str):
-    """Load frozen WavLM weights for the SLM loss if locally available
-    (zero-egress environments simply train without the slm term).
+def try_load_wavlm_params(model_name: str, allow_random_fallback: bool = False):
+    """Load frozen WavLM weights for the SLM loss.
 
-    Fallback order: the configured id/path, then the repo-local
-    ``assets/wavlm-random`` (random-init base-plus arch generated by
-    scripts/make_random_wavlm.py — exercises the full slm path and its
-    cost; NOT a perceptual substitute for the pretrained weights).
+    The configured id/path must resolve locally (zero egress).  When it
+    does not and the slm loss weight is > 0, this is an ERROR — the
+    reference would fail the same way in ``from_pretrained`` (reference
+    losses.py:376-394); silently training with a different perceptual
+    net is worse than stopping.  Only with the explicit
+    ``model.slm.allow_random_fallback: true`` opt-in does it fall back
+    to the repo-local ``assets/wavlm-random`` (random-init base-plus
+    arch, scripts/make_random_wavlm.py — exercises the full slm path
+    and its cost; NOT a perceptual substitute).
 
-    Returns a flax param tree (to ride ``TrainState.frozen["wavlm"]``)
-    or None."""
+    Returns a flax param tree (to ride ``TrainState.frozen["wavlm"]``)."""
     from transformers import WavLMModel
 
     repo = osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__))))
+    candidates = [model_name]
+    if allow_random_fallback:
+        candidates.append(osp.join(repo, "assets", "wavlm-random"))
     model = None
-    for cand in (model_name, osp.join(repo, "assets", "wavlm-random")):
+    for cand in candidates:
         try:
             model = WavLMModel.from_pretrained(cand, local_files_only=True)
         except Exception as exc:
@@ -112,8 +118,12 @@ def try_load_wavlm_params(model_name: str):
             )
         break
     if model is None:
-        logger.warning("WavLM weights unavailable; training without slm loss")
-        return None
+        raise RuntimeError(
+            f"slm loss weight > 0 but WavLM weights for {model_name!r} are "
+            "not locally available. Either provide the weights, set "
+            "loss_weight.slm: 0, or opt in to the structural-only "
+            "random-init net with model.slm.allow_random_fallback: true."
+        )
     from ..models.slm import convert_torch_wavlm
 
     params = convert_torch_wavlm(model.state_dict())
@@ -356,15 +366,17 @@ class Trainer:
 
         slm_loss_fn = None
         if stage == "acoustic" and cfg.loss_weight.slm > 0:
-            wavlm_params = try_load_wavlm_params(self.mc.slm.model)
-            if wavlm_params is not None:
-                from ..models.slm import wavlm_loss
+            wavlm_params = try_load_wavlm_params(
+                self.mc.slm.model,
+                allow_random_fallback=self.mc.slm.allow_random_fallback,
+            )
+            from ..models.slm import wavlm_loss
 
-                slm_loss_fn = wavlm_loss
-                # runtime buffers, not closure constants (TrainState.frozen)
-                state = state.replace(
-                    frozen={**state.frozen, "wavlm": wavlm_params}
-                )
+            slm_loss_fn = wavlm_loss
+            # runtime buffers, not closure constants (TrainState.frozen)
+            state = state.replace(
+                frozen={**state.frozen, "wavlm": wavlm_params}
+            )
 
         ctx = StepContext(
             self.models, self.mc, cfg.loss_weight.model_dump(),

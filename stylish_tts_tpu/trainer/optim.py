@@ -64,7 +64,15 @@ def cosine_lr(base_lr, step: jnp.ndarray, stage_steps) -> jnp.ndarray:
     compiled step is reusable across stage lengths and LRs (as python
     constants every epochs/lr change costs a full recompile, ~5-17 min
     through the axon remote-compile tunnel)."""
-    logical = step * LOGICAL_STEP_LIMIT // jnp.maximum(stage_steps, 1)
+    # int64 is disabled by default in jax, so `step * 10_000` would wrap
+    # int32 once step >= ~214,749 (long acoustic stages get there). Split
+    # off the quotient exactly and do the sub-stage remainder in float32:
+    # worst-case error is <1 logical step out of 10k (1e-4 of the cosine).
+    steps = jnp.maximum(stage_steps, 1)
+    rem = (step % steps).astype(jnp.float32)
+    logical = (step // steps) * LOGICAL_STEP_LIMIT + jnp.floor(
+        rem * float(LOGICAL_STEP_LIMIT) / steps.astype(jnp.float32)
+    ).astype(jnp.int32)
     logical = jnp.minimum(logical, int(LOGICAL_STEP_LIMIT * PLATEAU))
     progress = logical.astype(jnp.float32) / LOGICAL_STEP_LIMIT
     return base_lr * 0.5 * (1.0 + jnp.cos(math.pi * progress))

