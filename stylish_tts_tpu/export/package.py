@@ -66,11 +66,63 @@ def text_bucket(n: int) -> int:
     raise ValueError(f"text too long for inference buckets: {n}")
 
 
+def duration_stats_from_cache(cache: Dict) -> Dict[str, float]:
+    """Per-utterance frames-per-token quantiles from an alignment cache
+    (the training-set duration distribution).  These ship in the
+    package metadata so `warmup` can compile the frame buckets real
+    requests will actually hit, instead of assuming 8 frames/token
+    (VERDICT r2 item 8)."""
+    fpt = []
+    for arr in cache.values():
+        d = np.asarray(arr, np.float64).reshape(-1)
+        if d.size:
+            fpt.append(d.sum() / d.size)
+    if not fpt:
+        return {}
+    fpt = np.asarray(fpt)
+    return {
+        "frames_per_token_p05": float(np.percentile(fpt, 5)),
+        "frames_per_token_p50": float(np.percentile(fpt, 50)),
+        "frames_per_token_p95": float(np.percentile(fpt, 95)),
+    }
+
+
+def warmup_grid(
+    text_buckets, duration_stats=None, max_frames_per_text=None
+):
+    """The (L, F) program grid `warmup` compiles.
+
+    With duration stats, bucket L covers utterances of n in
+    (previous bucket, L] tokens at p05..p95 frames/token — so the
+    frame-bucket range is [ (P+1)*p05, L*p95 ].  Without stats, the
+    legacy expectation of ~8 frames/token (+1 bucket of slack).
+    """
+    grid = []
+    prev = 0
+    for L in text_buckets:
+        if duration_stats and "frames_per_token_p95" in duration_stats:
+            lo_frames = (prev + 1) * duration_stats["frames_per_token_p05"]
+            hi_frames = L * duration_stats["frames_per_token_p95"]
+            lo = frame_bucket(max(1, int(np.floor(lo_frames))))
+            hi = frame_bucket(int(np.ceil(hi_frames)))
+            frames = range(lo, hi + 1, FRAME_BUCKET_STEP)
+        else:
+            expect = frame_bucket(L * 8)
+            frames = (expect, expect + FRAME_BUCKET_STEP)
+        for F in frames:
+            if max_frames_per_text and F > max_frames_per_text:
+                continue
+            grid.append((L, F))
+        prev = L
+    return grid
+
+
 def export_checkpoint(
     params: Dict, model_config: ModelConfig,
     normalization: NormalizationStats, out_dir: str,
     pitch_log2_mean: float = 0.0, pitch_log2_std: float = 1.0,
     emit_stablehlo: bool = False,
+    duration_stats: Dict[str, float] | None = None,
 ) -> str:
     os.makedirs(out_dir, exist_ok=True)
     infer_params = {k: params[k] for k in INFERENCE_MODULES}
@@ -82,6 +134,7 @@ def export_checkpoint(
         "pitch_log2_mean": pitch_log2_mean,
         "pitch_log2_std": pitch_log2_std,
         "framework": "stylish_tts_tpu",
+        "duration_stats": duration_stats or {},
     }
     with open(osp.join(out_dir, "metadata.json"), "w", encoding="utf-8") as f:
         json.dump(meta, f, indent=2)
@@ -121,15 +174,20 @@ class InferencePackage:
         with open(osp.join(package_dir, "metadata.json"), encoding="utf-8") as f:
             meta = json.load(f)
         norm = NormalizationStats(**meta["normalization"])
-        self._init(params, mc, norm)
+        self._init(
+            params, mc, norm,
+            duration_stats=meta.get("duration_stats") or None,
+        )
 
     @classmethod
-    def from_parts(cls, params, model_config, normalization):
+    def from_parts(cls, params, model_config, normalization,
+                   duration_stats=None):
         self = cls.__new__(cls)
-        self._init(params, model_config, normalization)
+        self._init(params, model_config, normalization,
+                   duration_stats=duration_stats)
         return self
 
-    def _init(self, params, mc, norm):
+    def _init(self, params, mc, norm, duration_stats=None):
         # safetensors round-trips params as plain nested dicts; flax apply
         # accepts them directly
         self.params = params
@@ -141,6 +199,7 @@ class InferencePackage:
             mc.duration_predictor.duration_classes,
             mc.duration_predictor.max_duration,
         )
+        self.duration_stats = duration_stats
         self._duration_fns = {}
         self._acoustic_fns = {}
 
@@ -208,11 +267,18 @@ class InferencePackage:
         """Pre-compile the bucket grid so serving never hits a compile at
         request time.  Returns the number of programs compiled.
 
-        By default compiles each text bucket with its two most likely
-        frame buckets (expected duration ~ 8 frames/token).
+        The grid comes from `warmup_grid`: when the package carries
+        training-set duration stats (metadata `duration_stats`, written
+        by `convert` from the alignment cache) each text bucket covers
+        the p05..p95 frames-per-token range of real utterances; without
+        stats it falls back to the legacy ~8 frames/token expectation.
         """
         compiled = 0
-        for L in text_buckets or TEXT_BUCKETS:
+        text_buckets = text_buckets or TEXT_BUCKETS
+        grid = warmup_grid(
+            text_buckets, self.duration_stats, max_frames_per_text
+        )
+        for L in text_buckets:
             dur_args = (
                 self.params["duration_predictor"],
                 jnp.ones((1, L), jnp.int32),
@@ -220,15 +286,11 @@ class InferencePackage:
                 jnp.zeros((1, self.mc.style_dim)),
             )
             self._duration_fn(L).lower(*dur_args).compile()
-            expect = frame_bucket(L * 8)
-            frames = {expect, expect + FRAME_BUCKET_STEP}
-            if max_frames_per_text:
-                frames = {f for f in frames if f <= max_frames_per_text}
-            for F in frames:
-                fn, args = self._acoustic_fn_and_args(L, F)
-                self._acoustic_fns[(L, F)] = jax.jit(fn)
-                self._acoustic_fns[(L, F)].lower(*args).compile()
-                compiled += 1
+        for L, F in grid:
+            fn, args = self._acoustic_fn_and_args(L, F)
+            self._acoustic_fns[(L, F)] = jax.jit(fn)
+            self._acoustic_fns[(L, F)].lower(*args).compile()
+            compiled += 1
         return compiled
 
     def tokenize(self, text: str) -> np.ndarray:

@@ -84,3 +84,72 @@ def test_warmup_precompiles(tmp_path):
     n = pkg.warmup(text_buckets=[32], max_frames_per_text=300)
     assert n >= 1
     assert (32, 300) in pkg._acoustic_fns or (32, 400) in pkg._acoustic_fns
+
+
+def test_duration_stats_from_cache_and_grid_coverage():
+    """VERDICT r2 item 8: the warmup grid derived from trained duration
+    stats must cover >=95% of utterances drawn from that distribution
+    with no request-time compile."""
+    from stylish_tts_tpu.export.package import (
+        TEXT_BUCKETS,
+        duration_stats_from_cache,
+        warmup_grid,
+    )
+
+    rng = np.random.default_rng(0)
+    # simulated training alignment cache: utterances of 5..120 tokens at
+    # ~5.5 frames/token (slowish speech, well off the legacy 8 f/t guess)
+    cache = {}
+    for i in range(400):
+        n = int(rng.integers(5, 120))
+        fpt = rng.normal(5.5, 0.8)
+        durs = np.full((1, n), max(fpt, 1.0), np.float32)
+        cache[f"seg{i}"] = durs
+    stats = duration_stats_from_cache(cache)
+    assert 4.0 < stats["frames_per_token_p05"] < 5.5
+    assert 5.5 < stats["frames_per_token_p95"] < 7.5
+
+    grid = set(warmup_grid(TEXT_BUCKETS, stats))
+    # serve a fresh sample from the same speaker distribution
+    hits = 0
+    total = 1000
+    for _ in range(total):
+        n = int(rng.integers(5, 120))
+        fpt = float(np.clip(rng.normal(5.5, 0.8), 1.0, None))
+        L = text_bucket(n)
+        F = frame_bucket(int(round(n * fpt)))
+        hits += (L, F) in grid
+    assert hits / total >= 0.95, f"warmup grid covers only {hits/total:.1%}"
+
+    # the legacy 8 f/t heuristic misses most of this speaker's requests
+    legacy = set(warmup_grid(TEXT_BUCKETS, None))
+    legacy_hits = sum(
+        (text_bucket(n), frame_bucket(int(round(n * 5.5)))) in legacy
+        for n in rng.integers(5, 120, size=200)
+    )
+    assert legacy_hits / 200 < 0.5
+
+
+def test_generate_miss_path_compiles_on_demand(tmp_path):
+    """A request outside the warmed grid must still synthesize (compile
+    at request time) — the miss path is functional, just slower."""
+    mc = tiny_mc()
+    models = build_model(mc)
+    params = init_all_params(models, mc, jax.random.PRNGKey(0))
+    out = export_checkpoint(
+        params, mc, NormalizationStats(), str(tmp_path / "pkg3"),
+        duration_stats={
+            "frames_per_token_p05": 2.0,
+            "frames_per_token_p50": 2.5,
+            "frames_per_token_p95": 3.0,
+        },
+    )
+    pkg = InferencePackage(out)
+    assert pkg.duration_stats["frames_per_token_p95"] == 3.0
+    tokens = pkg.tokenize("ɔnðə kˈɑːntɹɛɹi")
+    style = np.zeros(mc.style_dim, np.float32)
+    # nothing warmed: every bucket pair is a miss and must still work
+    assert not pkg._acoustic_fns
+    audio = pkg.generate_speech(tokens, style, style, style)
+    assert audio.size > 0 and np.isfinite(audio).all()
+    assert len(pkg._acoustic_fns) == 1  # compiled on demand and cached
