@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Ringformer-generator acoustic e2e on formant speech, real TPU
+# (VERDICT r2 item 7: the variant had parity + step tests but had never
+# run a full stage). Reuses a completed freegan e2e workdir's caches
+# (pitch/alignment/aligner) so only the acoustic stage runs here.
+#   usage: e2e_ringformer_tpu.sh <freegan_workdir> [ring_workdir]
+set -ex
+cd "$(dirname "$0")/.."
+SRC=${1:-/tmp/formant_e2e}
+WORK=${2:-/tmp/formant_ring}
+test -f "$SRC/data/alignment.safetensors"
+rm -rf "$WORK"
+mkdir -p "$WORK"
+
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python - "$SRC" "$WORK" <<'EOF'
+import sys, yaml
+src, work = sys.argv[1], sys.argv[2]
+cfg = yaml.safe_load(open(f"{src}/config.yml"))
+# acoustic only; same data + caches as the freegan run
+cfg["training_plan"] = {
+    "acoustic": {"epochs": 40, "probe_batch_max": 8, "lr": 1e-4},
+}
+open(f"{work}/config.yml", "w").write(yaml.dump(cfg))
+mc = yaml.safe_load(open(f"{src}/model.yml")) or {}
+mc["generator"] = {"type": "ringformer"}
+open(f"{work}/model.yml", "w").write(yaml.dump(mc))
+print("ringformer config ready")
+EOF
+
+RUN="python -m stylish_tts_tpu.cli"   # ambient env: real TPU
+$RUN train --config "$WORK/config.yml" --model-config "$WORK/model.yml" \
+  --out "$WORK/out" --stage acoustic
+echo "RINGFORMER E2E OK"

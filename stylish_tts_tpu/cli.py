@@ -244,6 +244,36 @@ def pitch(config_path, model_config_path, out_dir, method, rmvpe_weights):
     click.echo(f"wrote pitch for {len(cache)} segments to {out_path}")
 
 
+@train_cli.command("slm-cache")
+@click.option("--config", "config_path", required=True, type=click.Path(exists=True))
+@click.option("--model-config", "model_config_path", type=click.Path(exists=True))
+@click.option("--out", "out_dir", required=True, type=click.Path())
+def slm_cache(config_path, model_config_path, out_dir):
+    """Precompute GT WavLM embeddings for the slm loss.
+
+    Runs the frozen WavLM encoder over every training segment once and
+    writes dataset.slm_path; acoustic training then matches predictions
+    against the cache instead of re-embedding GT audio every step
+    (half the slm compute, and the cache can be produced with the real
+    pretrained weights on any machine that has them)."""
+    from .dataprep.slm_cache import compute_slm_cache, write_slm_cache
+    from .trainer.loop import Trainer, try_load_wavlm_params
+
+    config, model_config = _load_configs(config_path, model_config_path)
+    trainer = Trainer(config, model_config, out_dir)
+    wavlm_params = try_load_wavlm_params(
+        model_config.slm.model,
+        allow_random_fallback=model_config.slm.allow_random_fallback,
+    )
+    cache = {}
+    for list_name in (config.dataset.train_data, config.dataset.val_data):
+        ds = trainer.build_dataset(list_name)
+        cache.update(compute_slm_cache(ds, wavlm_params))
+    out_path = trainer.data_path(config.dataset.slm_path)
+    write_slm_cache(out_path, cache)
+    click.echo(f"wrote slm embeddings for {len(cache)} segments to {out_path}")
+
+
 @train_cli.command("train")
 @click.option("--config", "config_path", required=True, type=click.Path(exists=True))
 @click.option("--model-config", "model_config_path", type=click.Path(exists=True))

@@ -40,6 +40,12 @@ def collate_batch(items: List[dict], hop_length: int, require_pitch=True):
     durations = np.zeros((b, ltext), np.int32)
     paths = []
 
+    # precomputed GT WavLM states ride along only when every item has
+    # them (same time bin -> same T, so the stack is static-shape)
+    slm = None
+    if all(it.get("slm") is not None for it in items):
+        slm = np.stack([np.asarray(it["slm"]) for it in items])
+
     for i, it in enumerate(items):
         assert it["audio"].shape[0] == samples, "mixed bins in one batch"
         audio[i] = it["audio"]
@@ -62,5 +68,6 @@ def collate_batch(items: List[dict], hop_length: int, require_pitch=True):
         text_lengths=text_lengths,
         pitch=pitch,
         durations=durations,
+        slm_gt=slm,
     )
     return batch, paths

@@ -71,6 +71,7 @@ class FilePathDataset:
         pitch_path: Optional[str] = None,
         alignment_path: Optional[str] = None,
         dur_to_class=None,
+        slm_path: Optional[str] = None,
     ):
         self.root_path = root_path
         self.sample_rate = sample_rate
@@ -80,6 +81,11 @@ class FilePathDataset:
         self.pitch: Dict[str, np.ndarray] = {}
         if pitch_path and osp.isfile(pitch_path):
             self.pitch = load_cache(pitch_path)
+
+        # optional precomputed GT WavLM embeddings (dataprep/slm_cache)
+        self.slm: Dict[str, np.ndarray] = {}
+        if slm_path and osp.isfile(slm_path):
+            self.slm = load_cache(slm_path)
 
         self.alignment: Dict[str, np.ndarray] = {}
         duration_hist = np.zeros(DURATION_CLASSES, np.float64)
@@ -191,6 +197,7 @@ class FilePathDataset:
             "tokens": tokens,
             "pitch": pitch,
             "durations": durations,
+            "slm": self.slm.get(seg.wav_path),
             "path": seg.wav_path,
             "speaker": seg.speaker,
             "time_bin": time_bin,

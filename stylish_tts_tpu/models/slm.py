@@ -304,6 +304,45 @@ def wavlm_loss(params, target_audio: jnp.ndarray, pred_audio: jnp.ndarray):
     return loss / len(t_states)
 
 
+def wavlm_embed(params, audio24k: jnp.ndarray) -> jnp.ndarray:
+    """24 kHz audio (B, S) -> stacked hidden states (B, 13, T, 768).
+
+    The GT side of the slm loss is a pure function of the dataset, so
+    it can be precomputed once per segment (`stylish-train slm-cache`)
+    instead of re-running the 95M-param encoder on the target audio
+    every step — and a perceptual run can consume GT embeddings
+    computed with the real pretrained weights elsewhere the moment the
+    weights appear (VERDICT r2 item 5)."""
+    model = WavLMEncoder()
+    frozen = jax.tree.map(
+        lambda x: jax.lax.stop_gradient(jnp.asarray(x)), params
+    )
+    states = model.apply(frozen, resample_24k_to_16k(audio24k))
+    return jnp.stack(states, axis=1)
+
+
+def wavlm_loss_cached(
+    params, gt_states: jnp.ndarray, pred_audio: jnp.ndarray
+):
+    """slm loss against precomputed GT hidden states (B, 13, T, 768).
+
+    Numerically identical to `wavlm_loss` when gt_states =
+    `wavlm_embed(params, target_audio)` (same mean-of-means layer
+    reduction), at half the WavLM compute per step."""
+    model = WavLMEncoder()
+    frozen = jax.tree.map(
+        lambda x: jax.lax.stop_gradient(jnp.asarray(x)), params
+    )
+    p_states = model.apply(frozen, resample_24k_to_16k(pred_audio))
+    gt = jax.lax.stop_gradient(gt_states.astype(jnp.float32))
+    loss = 0.0
+    n = len(p_states)
+    for i, ps in enumerate(p_states):
+        t = min(gt.shape[2], ps.shape[1])
+        loss = loss + jnp.mean(jnp.abs(gt[:, i, :t] - ps[:, :t]))
+    return loss / n
+
+
 def make_wavlm_loss(params, sample_rate: int = 24000):
     """Bind params eagerly (test/eager convenience; inside jit prefer
     ``wavlm_loss`` with params as an argument — see its docstring)."""

@@ -209,6 +209,7 @@ class Trainer:
             pitch_path=self.data_path(self.config.dataset.pitch_path),
             alignment_path=self.data_path(self.config.dataset.alignment_path),
             dur_to_class=self.duration_processor.dur_to_class,
+            slm_path=self.data_path(self.config.dataset.slm_path),
         )
 
     def init_normalization(self, dataset: FilePathDataset, out_dir: str):

@@ -445,9 +445,18 @@ def make_acoustic_step(ctx: StepContext):
                     )
                 )
             if ctx.slm_loss_fn is not None:
-                metrics["slm"] = ctx.slm_loss_fn(
-                    state.frozen["wavlm"], audio_t, pred.audio
-                )
+                if batch.slm_gt is not None:
+                    # GT side precomputed (dataprep/slm_cache): only the
+                    # predicted audio pays the WavLM forward
+                    from ..models.slm import wavlm_loss_cached
+
+                    metrics["slm"] = wavlm_loss_cached(
+                        state.frozen["wavlm"], batch.slm_gt, pred.audio
+                    )
+                else:
+                    metrics["slm"] = ctx.slm_loss_fn(
+                        state.frozen["wavlm"], audio_t, pred.audio
+                    )
             total = L.backwards_loss(metrics, ctx.weights)
             return total, (metrics, pred.audio, feats_p.fft_mag)
 

@@ -1,5 +1,7 @@
 """Golden parity: JAX WavLM vs a randomly initialized HF torch WavLM."""
 
+import os.path as osp
+
 import numpy as np
 import pytest
 
@@ -90,3 +92,90 @@ def test_missing_wavlm_falls_back_with_optin(tmp_path):
     missing = str(tmp_path / "nonexistent-model")
     params = try_load_wavlm_params(missing, allow_random_fallback=True)
     assert "params" in params or len(params) > 0
+
+
+def test_cached_slm_loss_matches_inline(torch_model):
+    """wavlm_loss_cached(gt=wavlm_embed(target)) == wavlm_loss(target)
+    — the precomputed-GT cache path (VERDICT r2 item 5) is numerically
+    the same loss at half the per-step WavLM compute."""
+    from stylish_tts_tpu.models.slm import (
+        wavlm_embed,
+        wavlm_loss,
+        wavlm_loss_cached,
+    )
+
+    params = convert_torch_wavlm(torch_model.state_dict())
+    rng = np.random.default_rng(1)
+    target = jnp.asarray(
+        (rng.standard_normal((2, 7200)) * 0.1).astype(np.float32)
+    )
+    pred = jnp.asarray(
+        (rng.standard_normal((2, 7200)) * 0.1).astype(np.float32)
+    )
+    inline = float(wavlm_loss(params, target, pred))
+    gt = wavlm_embed(params, target)
+    assert gt.shape[1] == 13 and gt.shape[-1] == 768
+    cached = float(wavlm_loss_cached(params, gt, pred))
+    assert abs(cached - inline) / abs(inline) < 1e-5
+    # f16 storage (the cache's on-disk dtype) stays close
+    cached16 = float(
+        wavlm_loss_cached(params, gt.astype(jnp.float16), pred)
+    )
+    assert abs(cached16 - inline) / abs(inline) < 2e-3
+
+
+def test_slm_cache_through_dataset_and_collate(tmp_path, torch_model):
+    """compute_slm_cache -> safetensors -> dataset -> collate round trip:
+    the batch carries (B, 13, T, 768) f16 GT states."""
+    from fixtures import make_micro_dataset
+    from stylish_tts_tpu.data.dataset import FilePathDataset
+    from stylish_tts_tpu.data.collate import collate_batch
+    from stylish_tts_tpu.dataprep.slm_cache import (
+        compute_slm_cache,
+        write_slm_cache,
+    )
+    from stylish_tts_tpu.data.caches import load_cache
+    from stylish_tts_tpu.text import TextCleaner
+    from stylish_tts_tpu.config import ModelConfig
+
+    root = str(tmp_path)
+    make_micro_dataset(root, n_train=2, n_val=1)
+    mc = ModelConfig()
+    tc = TextCleaner(mc.symbol)
+
+    def build(slm_path=None):
+        with open(osp.join(root, "train-list.txt"), encoding="utf-8") as f:
+            lines = f.readlines()
+        return FilePathDataset(
+            data_list=lines,
+            root_path=osp.join(root, "wav-dir"),
+            text_cleaner=tc,
+            sample_rate=24000,
+            coarse_hop_length=300,
+            pitch_path=osp.join(root, "pitch.safetensors"),
+            alignment_path=osp.join(root, "alignment.safetensors"),
+            slm_path=slm_path,
+        )
+
+    params = convert_torch_wavlm(torch_model.state_dict())
+    cache = compute_slm_cache(build(), params, batch_size=2)
+    assert len(cache) == 2
+    out = osp.join(root, "slm.safetensors")
+    write_slm_cache(out, cache)
+    assert set(load_cache(out)) == set(cache)
+
+    ds = build(slm_path=out)
+    items = [ds.load_segment(i) for i in range(2) if True]
+    # same time bin only: group by audio length
+    items = [it for it in items if it["audio"].shape == items[0]["audio"].shape]
+    batch, _ = collate_batch(items, hop_length=300, require_pitch=False)
+    assert batch.slm_gt is not None
+    assert batch.slm_gt.dtype == np.float16
+    assert batch.slm_gt.shape[0] == len(items)
+    assert batch.slm_gt.shape[1] == 13 and batch.slm_gt.shape[-1] == 768
+
+    # without the cache the field stays None (inline embedding path)
+    b2, _ = collate_batch(
+        [build().load_segment(0)], hop_length=300, require_pitch=False
+    )
+    assert b2.slm_gt is None
