@@ -76,6 +76,24 @@ _RULES = [
     (r"ffn_(0|2|4)/kernel$", -1),
     (r"ffn_(1|3)/kernel$", -2),
     (r"text_aligner.*/out/kernel$", -2),
+    # discriminators (24% of acoustic forward FLOPs for the 3 MRDs
+    # alone — scripts/audit_sharding.py): alternate column/row down the
+    # conv stacks (leaky_relu between is elementwise). Per-layer 1-ch
+    # score heads reading a column-sharded activation contract it
+    # (row-sharded); heads on replicated activations stay replicated.
+    (r"^mrd\d/params/conv_(0|2|4)/kernel$", -1),
+    (r"^mrd\d/params/conv_(1|3)/kernel$", -2),
+    (r"^mrd\d/params/out_(0|2|4)/kernel$", -2),
+    (r"^(pitch_disc|dur_disc)/params/conv_(0|2|4)/Conv_0/kernel$", -1),
+    (r"^(pitch_disc|dur_disc)/params/conv_(1|3)/Conv_0/kernel$", -2),
+    (r"^(pitch_disc|dur_disc)/params/out_(0|2|4)/Conv_0/kernel$", -2),
+    # waveform disc trunk: GroupNorm(1) after each conv reduces over
+    # the sharded feature axis, but only its (B, T, 1) stats cross
+    # ranks — far cheaper than the conv FLOPs saved
+    (r"^disc/params/conv(0|2)/conv/Conv_0/kernel$", -1),
+    (r"^disc/params/conv(1|3)/conv/Conv_0/kernel$", -2),
+    (r"^disc/params/last0/kernel$", -1),
+    (r"^disc/params/last1/kernel$", -2),
 ]
 
 
