@@ -35,11 +35,16 @@ cfg = {
   "validation": {"sample_count": 2},
 }
 open(os.path.join(work, "config.yml"), "w").write(yaml.dump(cfg))
+# model-small + explicit opt-in to the structural-only random WavLM
+# (slm weight > 0 with no local weights errors out otherwise)
+mdl = yaml.safe_load(open("configs/model-small.yml"))
+mdl.setdefault("slm", {})["allow_random_fallback"] = True
+open(os.path.join(work, "model.yml"), "w").write(yaml.dump(mdl))
 print("fixture ready")
 EOF
 
 RUN="env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu JAX_DISABLE_MOST_OPTIMIZATIONS=1 python -m stylish_tts_tpu.cli"
-CFG="--config $WORK/config.yml --model-config configs/model-small.yml"
+CFG="--config $WORK/config.yml --model-config $WORK/model.yml"
 
 $RUN pitch $CFG --out "$WORK/out"
 $RUN train-align $CFG --out "$WORK/out"

@@ -32,6 +32,9 @@ def main():
                     "configuration; halves steady-state TrainState HBM)")
     ap.add_argument("--remat", action="store_true",
                     help="generator remat + bf16 discs (memory-saver mode)")
+    ap.add_argument("--all-mrd", action="store_true",
+                    help="reference-faithful disc phase (all 3 MRDs computed "
+                    "+ EMA'd every step) instead of the sampled-only default")
     args = ap.parse_args()
 
     import jax
@@ -67,7 +70,7 @@ def main():
     ctx = StepContext(
         models, mc, cfg.loss_weight.model_dump(), NormalizationStats(),
         stage_steps=10000, base_lr=1e-4, mixed_precision=args.bf16,
-        slm_loss_fn=slm_loss_fn,
+        slm_loss_fn=slm_loss_fn, sampled_mrd_only=not args.all_mrd,
     )
 
     B, L, F = args.batch, args.text, args.frames

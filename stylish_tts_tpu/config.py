@@ -33,6 +33,16 @@ class TrainingConfig(BaseModel):
     # on TPU batch sizes come from the static memory planner instead.
     vram_reserve: int = 0
     data_workers: int = 4
+    # Acoustic discriminator phase: compute forward+backward for only the
+    # per-step sampled MRD (lax.switch) instead of all three. The torch
+    # reference computes the loss over all 3 MRDs every step and lets each
+    # helper's last_loss EMA move on call (losses.py:191-207, :287) but
+    # only *optimizer-steps* the sampled one (stage.py:138-144) — so two
+    # of the three MRD backwards buy nothing but EMA movement. True (the
+    # default) skips them: ~⅓ the MRD disc-phase FLOPs, EMAs advance only
+    # when their MRD is sampled. False reproduces the reference
+    # trajectory exactly (used by the torch-parity harness).
+    sampled_mrd_only: bool = True
 
 
 class StagePlan(BaseModel):

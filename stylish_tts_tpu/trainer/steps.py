@@ -63,7 +63,8 @@ class StepContext:
                  slm_loss_fn=None, axis_name: Optional[str] = None,
                  mixed_precision: bool = False,
                  parity_deterministic: bool = False,
-                 parity_prior=None):
+                 parity_prior=None,
+                 sampled_mrd_only: bool = True):
         # parity_deterministic: neutralize per-step stochastic augmentation
         # (decoder F0/N smoothing, sine-source phase/noise) so the step's
         # trajectory can be compared 1:1 against the torch reference driven
@@ -78,6 +79,8 @@ class StepContext:
         # Never used in production training.
         self.parity_deterministic = parity_deterministic
         self.parity_prior = parity_prior
+        # See TrainingConfig.sampled_mrd_only (config.py) for semantics.
+        self.sampled_mrd_only = sampled_mrd_only
         self.compute_dtype = jnp.bfloat16 if mixed_precision else jnp.float32
         # Discriminator precision: bf16 32-channel convs are ~30% slower on
         # the MXU than fp32 here, but halve their (4x-tile-padded) HBM
@@ -320,43 +323,98 @@ def _adv_generator_metrics(ctx, frozen_disc_params, feats_t, feats_p,
 
 def _disc_phase_mrd(ctx, state, feats_t_fft, pred_fft_detached, audio_t,
                     audio_p_detached, disc_index, lr, sqrt_b):
-    """Discriminator step: loss over all 3 MRDs + disc, update only the
-    sampled MRD + disc (reference stage.py:128-146)."""
+    """Discriminator step on the detached generator outputs.
+
+    The torch reference (stage.py:128-146) computes the disc loss over all
+    THREE MRDs plus the waveform disc every step — DiscriminatorLoss.forward's
+    acoustic branch loops ``for i in range(3)`` and ignores ``index``
+    (losses.py:200-206) and each helper's last_loss EMA moves on call
+    (losses.py:287) — but optimizer-steps only ``[mrd{index}, disc]``
+    (stage.py:138-144). Two of the three MRD forward+backwards therefore buy
+    nothing except EMA movement.
+
+    ``ctx.sampled_mrd_only`` (default True) runs forward+backward for ONLY
+    the sampled MRD via ``lax.switch`` — one compiled program, a third of
+    the MRD disc-phase FLOPs — at the cost of each MRD's gap-aware-LR EMA
+    advancing only on the steps its MRD is sampled (~1/3 cadence vs the
+    reference). ``False`` reproduces the reference's all-3 compute + EMA
+    trajectory exactly; the torch-parity harness uses it
+    (tests/test_train_parity_trajectory.py). Either way param/opt updates
+    touch only the sampled MRD + disc, matching the reference."""
 
     dt = ctx.disc_dtype
-
-    def disc_loss_fn(disc_params):
-        cast = _cast_f32(disc_params, dt)
-        total = 0.0
-        raws = {}
-        for i in range(3):
-            real = ctx.models[f"mrd{i}"].apply(
-                cast[f"mrd{i}"], feats_t_fft[i].astype(dt)
-            )
-            fake = ctx.models[f"mrd{i}"].apply(
-                cast[f"mrd{i}"], pred_fft_detached[i].astype(dt)
-            )
-            pair, raw = L.discriminator_pair_loss(real, fake)
-            total = total + pair
-            raws[f"mrd{i}"] = raw
-        real = ctx.models["disc"].apply(cast["disc"], audio_t.astype(dt))
-        fake = ctx.models["disc"].apply(
-            cast["disc"], audio_p_detached.astype(dt)
-        )
-        pair, raw = L.discriminator_pair_loss(real, fake)
-        total = total + L.DISC_AUDIO_WEIGHT * pair
-        raws["disc"] = raw
-        return total * sqrt_b, raws
-
     disc_names = ["mrd0", "mrd1", "mrd2", "disc"]
     disc_params = {k: state.params[k] for k in disc_names}
-    (d_loss, raws), grads = jax.value_and_grad(disc_loss_fn, has_aux=True)(
-        disc_params
-    )
+
+    def make_loss_fn(active):
+        """Disc loss over the MRD indices in `active` + the waveform disc."""
+
+        def disc_loss_fn(p):
+            cast = _cast_f32(p, dt)
+            total = 0.0
+            raws = {}
+            for i in active:
+                real = ctx.models[f"mrd{i}"].apply(
+                    cast[f"mrd{i}"], feats_t_fft[i].astype(dt)
+                )
+                fake = ctx.models[f"mrd{i}"].apply(
+                    cast[f"mrd{i}"], pred_fft_detached[i].astype(dt)
+                )
+                pair, raw = L.discriminator_pair_loss(real, fake)
+                total = total + pair
+                raws[f"mrd{i}"] = raw
+            real = ctx.models["disc"].apply(cast["disc"], audio_t.astype(dt))
+            fake = ctx.models["disc"].apply(
+                cast["disc"], audio_p_detached.astype(dt)
+            )
+            pair, raw = L.discriminator_pair_loss(real, fake)
+            total = total + L.DISC_AUDIO_WEIGHT * pair
+            raws["disc"] = raw
+            return total * sqrt_b, raws
+
+        return disc_loss_fn
+
+    if ctx.sampled_mrd_only:
+        # One switch branch per MRD; value_and_grad over the full disc-param
+        # dict gives zero grads for the two untouched MRDs, so every branch
+        # returns an identical pytree structure and only the taken branch
+        # executes at runtime.
+        def make_branch(i):
+            def branch(_):
+                (d_loss, raws), grads = jax.value_and_grad(
+                    make_loss_fn([i]), has_aux=True
+                )(disc_params)
+                return d_loss, raws[f"mrd{i}"], raws["disc"], grads
+
+            return branch
+
+        d_loss, raw_mrd, raw_disc, grads = jax.lax.switch(
+            disc_index, [make_branch(i) for i in range(3)], None
+        )
+        raws = {"disc": raw_disc}
+        ema_new = {
+            f"mrd{i}": jnp.where(
+                disc_index == i,
+                update_disc_ema(state.disc_ema[f"mrd{i}"], raw_mrd),
+                state.disc_ema[f"mrd{i}"],
+            )
+            for i in range(3)
+        }
+    else:
+        (d_loss, raws), grads = jax.value_and_grad(
+            make_loss_fn(range(3)), has_aux=True
+        )(disc_params)
+        ema_new = {
+            f"mrd{i}": update_disc_ema(
+                state.disc_ema[f"mrd{i}"], raws[f"mrd{i}"]
+            )
+            for i in range(3)
+        }
 
     params = dict(state.params)
     opt_state = dict(state.opt_state)
     disc_ema = dict(state.disc_ema)
+    disc_ema.update(ema_new)
     for i in range(3):
         name = f"mrd{i}"
         mult = L.disc_lr_multiplier(state.disc_ema[name], DISC_SUB_COUNT[name])
@@ -364,7 +422,6 @@ def _disc_phase_mrd(ctx, state, feats_t_fft, pred_fft_detached, audio_t,
             ctx, state, params, opt_state, grads[name], name, lr * mult,
             apply_mask=(disc_index == i),
         )
-        disc_ema[name] = update_disc_ema(state.disc_ema[name], raws[name])
     mult = L.disc_lr_multiplier(state.disc_ema["disc"], DISC_SUB_COUNT["disc"])
     g = ctx.pmean(grads["disc"])
     params["disc"], opt_state["disc"] = apply_module_update(
@@ -612,16 +669,22 @@ def make_duration_step(ctx: StepContext, duration_class_weights):
         targets = ctx.duration_processor.dur_to_class(batch.durations)
         sqrt_b = math.sqrt(batch.text.shape[0])
         frozen_dd = jax.lax.stop_gradient(state.params["dur_disc"])
+        # Generator phase honors ctx.compute_dtype like the other stages
+        # (master params fp32, activations in dt); losses + both disc
+        # phases stay fp32, matching the textual stage's split.
+        dt = ctx.compute_dtype
 
         def gen_loss_fn(train_params):
+            cast_params = _cast_f32(train_params, dt)
             dstyle = ctx.models["duration_style_encoder"].apply(
-                train_params["duration_style_encoder"], style_mel,
+                cast_params["duration_style_encoder"], style_mel.astype(dt),
             )
             duration_raw = ctx.models["duration_predictor"].apply(
-                train_params["duration_predictor"],
+                cast_params["duration_predictor"],
                 batch.text, batch.text_lengths, dstyle,
                 training=True, rngs={"dropout": r_drop},
             )
+            duration_raw = duration_raw.astype(jnp.float32)
             duration = ctx.duration_processor.prediction_to_duration(
                 duration_raw, batch.text_lengths
             )

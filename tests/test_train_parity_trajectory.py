@@ -234,6 +234,10 @@ def test_acoustic_training_trajectory_parity():
         models, mc, dict(REF_LOSS_WEIGHTS), norm, stage_steps=10_000,
         base_lr=1e-4, parity_deterministic=True,
         parity_prior=jnp.asarray(batch_np["prior"]),
+        # The torch reference computes + EMA-updates all 3 MRDs per step
+        # (losses.py:200-206,:287); match that trajectory here. Production
+        # defaults to the sampled-only fast path (config.py).
+        sampled_mrd_only=False,
     )
     step = jax.jit(make_acoustic_step(ctx))
     batch = Batch(

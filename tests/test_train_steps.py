@@ -136,6 +136,44 @@ def test_acoustic_step(setup):
     assert _changed(state.disc_ema, new_state.disc_ema)
 
 
+def test_acoustic_sampled_mrd_isolation(setup):
+    """sampled_mrd_only (the production default): the two non-sampled MRDs
+    see NO state movement at all — params, Adam moments, and gap-aware-LR
+    EMA all unchanged — while the sampled MRD and the waveform disc step
+    (reference stage.py:138-144; deviation from the reference's all-3
+    EMA cadence documented at steps._disc_phase_mrd)."""
+    models, state, ctx = setup
+    assert ctx.sampled_mrd_only
+    step = jit_data_parallel_step(
+        make_acoustic_step(ctx), make_mesh(), donate_state=False
+    )
+    new_state, _ = step(state, _batch())
+    sampled = [
+        i for i in range(3)
+        if _changed(state.params[f"mrd{i}"], new_state.params[f"mrd{i}"])
+    ]
+    assert len(sampled) == 1
+    for i in range(3):
+        name = f"mrd{i}"
+        if i == sampled[0]:
+            assert _changed(state.opt_state[name], new_state.opt_state[name])
+            assert not np.allclose(
+                np.asarray(state.disc_ema[name]),
+                np.asarray(new_state.disc_ema[name]),
+            )
+        else:
+            assert not _changed(state.opt_state[name], new_state.opt_state[name])
+            np.testing.assert_array_equal(
+                np.asarray(state.disc_ema[name]),
+                np.asarray(new_state.disc_ema[name]),
+            )
+    # waveform disc always steps, its EMA always moves
+    assert _changed(state.opt_state["disc"], new_state.opt_state["disc"])
+    assert not np.allclose(
+        np.asarray(state.disc_ema["disc"]), np.asarray(new_state.disc_ema["disc"])
+    )
+
+
 def test_textual_step(setup):
     models, state, ctx = setup
     step = jit_data_parallel_step(
