@@ -9,5 +9,5 @@ set -e
 cd "$(dirname "$0")/.."
 exec env -u PALLAS_AXON_POOL_IPS \
     JAX_PLATFORMS=cpu \
-    XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+    XLA_FLAGS="--xla_force_host_platform_device_count=8 --xla_cpu_collective_call_terminate_timeout_seconds=1200" \
     python -m pytest tests/ -x -q "$@"

@@ -12,9 +12,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 virtual device threads on a 1-2 core host can legitimately drift
+    # minutes apart; XLA's default 40 s rendezvous terminate timeout then
+    # aborts the whole process mid-collective.
+    flags += " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
