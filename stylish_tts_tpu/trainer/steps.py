@@ -375,22 +375,60 @@ def _disc_phase_mrd(ctx, state, feats_t_fft, pred_fft_detached, audio_t,
         return disc_loss_fn
 
     if ctx.sampled_mrd_only:
-        # One switch branch per MRD; value_and_grad over the full disc-param
-        # dict gives zero grads for the two untouched MRDs, so every branch
-        # returns an identical pytree structure and only the taken branch
-        # executes at runtime.
+        # The waveform disc runs every step regardless of which MRD was
+        # sampled, so its forward+backward lives OUTSIDE the switch: the
+        # first cut differentiated the combined loss inside every branch,
+        # which duplicated the waveform-disc backward into all three and
+        # tripled its footprint in the compiled program (42.9 MB MLIR,
+        # ~18 min through the remote-compile tunnel, and large enough to
+        # get the tunnel's compile helper OOM-killed). Each branch now
+        # differentiates only its own MRD's loss w.r.t. that MRD's params.
+        def wav_disc_loss(p):
+            cast = _cast_f32(p, dt)
+            real = ctx.models["disc"].apply(cast, audio_t.astype(dt))
+            fake = ctx.models["disc"].apply(cast, audio_p_detached.astype(dt))
+            pair, raw = L.discriminator_pair_loss(real, fake)
+            return L.DISC_AUDIO_WEIGHT * pair * sqrt_b, raw
+
+        (disc_term, raw_disc), disc_grad = jax.value_and_grad(
+            wav_disc_loss, has_aux=True
+        )(state.params["disc"])
+
         def make_branch(i):
+            def mrd_loss(p):
+                cast = _cast_f32(p, dt)
+                real = ctx.models[f"mrd{i}"].apply(
+                    cast, feats_t_fft[i].astype(dt)
+                )
+                fake = ctx.models[f"mrd{i}"].apply(
+                    cast, pred_fft_detached[i].astype(dt)
+                )
+                pair, raw = L.discriminator_pair_loss(real, fake)
+                return pair * sqrt_b, raw
+
             def branch(_):
-                (d_loss, raws), grads = jax.value_and_grad(
-                    make_loss_fn([i]), has_aux=True
-                )(disc_params)
-                return d_loss, raws[f"mrd{i}"], raws["disc"], grads
+                (mrd_term, raw), g = jax.value_and_grad(
+                    mrd_loss, has_aux=True
+                )(state.params[f"mrd{i}"])
+                # Identical output structure across branches: real grads for
+                # mrd_i, zeros for the other two (their updates are masked
+                # off below anyway).
+                g_all = {
+                    f"mrd{j}": g if j == i else jax.tree.map(
+                        jnp.zeros_like, state.params[f"mrd{j}"]
+                    )
+                    for j in range(3)
+                }
+                return mrd_term, raw, g_all
 
             return branch
 
-        d_loss, raw_mrd, raw_disc, grads = jax.lax.switch(
+        mrd_term, raw_mrd, grads = jax.lax.switch(
             disc_index, [make_branch(i) for i in range(3)], None
         )
+        grads = dict(grads)
+        grads["disc"] = disc_grad
+        d_loss = disc_term + mrd_term
         raws = {"disc": raw_disc}
         ema_new = {
             f"mrd{i}": jnp.where(
