@@ -64,6 +64,30 @@ from .steps import (
 
 logger = logging.getLogger("stylish_tts_tpu")
 
+# Per-step retries when an out-of-process compile service fails at the
+# transport level (distinct from RESOURCE_EXHAUSTED, which the OOM
+# shrinker handles).
+TRANSIENT_COMPILE_RETRIES = 3
+
+
+def classify_step_failure(msg: str) -> str:
+    """Classify a train-step exception message.
+
+    "oom"       — device HBM exhaustion: durably shrink the duration bin
+                  (reference batch_manager.py:187-241 semantics).
+    "transient" — transport-level failure of an out-of-process compile
+                  service (e.g. a remote-compile tunnel dropping
+                  mid-stream on a ~100 MB program): raised before
+                  execution, donated state still live, safe to retry.
+    "fatal"     — anything else (genuine compiler/runtime errors).
+    """
+    if "RESOURCE_EXHAUSTED" in msg or "OOM" in msg:
+        return "oom"
+    if ("remote_compile" in msg or "response body closed" in msg
+            or "UNAVAILABLE" in msg):
+        return "transient"
+    return "fatal"
+
 STAGE_ORDER = ["alignment", "acoustic", "textual", "duration"]
 NEXT_STAGE = {"acoustic": "textual", "textual": "duration"}
 
@@ -431,44 +455,63 @@ class Trainer:
                 if skip_batches > 0:
                     skip_batches -= 1
                     continue
-                try:
-                    state, metrics = step_fn(state, batch)
-                except Exception as exc:
-                    # HBM exhaustion surfaces at compile of a new bucket
-                    # shape; durably shrink the bin and skip this batch
-                    # (reference batch_manager.py:187-241 OOM retry).
-                    if "RESOURCE_EXHAUSTED" in str(exc) or "OOM" in str(exc):
-                        # Prefetched batches still carry the pre-shrink
-                        # size; only shrink when this batch is at (or
-                        # above) the bin's CURRENT planned size so one
-                        # OOM can't double-shrink through the prefetch
-                        # queue depth.
-                        if batch.audio_gt.shape[0] > table.get(time_bin):
-                            logger.warning(
-                                "OOM on stale prefetched batch (bin %d, "
-                                "size %d > planned %d); skipping",
-                                time_bin, batch.audio_gt.shape[0],
-                                table.get(time_bin),
-                            )
-                            continue
-                        new_size = table.shrink(time_bin)
+                skip_batch = False
+                for attempt in range(1, TRANSIENT_COMPILE_RETRIES + 1):
+                    try:
+                        state, metrics = step_fn(state, batch)
+                        break
+                    except Exception as exc:
+                        msg = str(exc)
+                        kind = classify_step_failure(msg)
                         deleted = any(
                             getattr(leaf, "is_deleted", lambda: False)()
                             for leaf in jax.tree.leaves(state)
                         )
-                        if deleted:
-                            raise RuntimeError(
-                                "OOM after buffer donation invalidated the "
-                                "training state; bin size durably lowered to "
-                                f"{new_size} — resume from the last "
-                                "checkpoint."
-                            ) from exc
-                        logger.warning(
-                            "OOM on bin %d; batch size lowered to %d",
-                            time_bin, new_size,
-                        )
-                        continue
-                    raise
+                        if (kind == "transient" and not deleted
+                                and attempt < TRANSIENT_COMPILE_RETRIES):
+                            logger.warning(
+                                "transient compile/transport failure "
+                                "(attempt %d/%d), retrying in %ds: %s",
+                                attempt, TRANSIENT_COMPILE_RETRIES,
+                                30 * attempt, msg.splitlines()[0][:200],
+                            )
+                            time.sleep(30.0 * attempt)
+                            continue
+                        # HBM exhaustion surfaces at compile of a new bucket
+                        # shape; durably shrink the bin and skip this batch
+                        # (reference batch_manager.py:187-241 OOM retry).
+                        if kind == "oom":
+                            # Prefetched batches still carry the pre-shrink
+                            # size; only shrink when this batch is at (or
+                            # above) the bin's CURRENT planned size so one
+                            # OOM can't double-shrink through the prefetch
+                            # queue depth.
+                            if batch.audio_gt.shape[0] > table.get(time_bin):
+                                logger.warning(
+                                    "OOM on stale prefetched batch (bin %d, "
+                                    "size %d > planned %d); skipping",
+                                    time_bin, batch.audio_gt.shape[0],
+                                    table.get(time_bin),
+                                )
+                                skip_batch = True
+                                break
+                            new_size = table.shrink(time_bin)
+                            if deleted:
+                                raise RuntimeError(
+                                    "OOM after buffer donation invalidated "
+                                    "the training state; bin size durably "
+                                    f"lowered to {new_size} — resume from "
+                                    "the last checkpoint."
+                                ) from exc
+                            logger.warning(
+                                "OOM on bin %d; batch size lowered to %d",
+                                time_bin, new_size,
+                            )
+                            skip_batch = True
+                            break
+                        raise
+                if skip_batch:
+                    continue
                 self.manifest.current_step = i + 1
                 self.manifest.current_total_step += 1
                 window.append({k: float(v) for k, v in metrics.items()})

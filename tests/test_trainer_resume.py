@@ -74,3 +74,22 @@ def test_alignment_stage_and_resume(workdir):
     a = jax.tree.leaves(state.params["text_aligner"])[0]
     b = jax.tree.leaves(state2.params["text_aligner"])[0]
     assert np.asarray(a).shape == np.asarray(b).shape
+
+
+def test_classify_step_failure():
+    """Transient compile-transport failures retry; OOM shrinks; rest raise."""
+    from stylish_tts_tpu.trainer.loop import classify_step_failure
+
+    assert classify_step_failure(
+        "INTERNAL: http://127.0.0.1:8113/remote_compile: read body: "
+        "response body closed before all bytes were read"
+    ) == "transient"
+    assert classify_step_failure("UNAVAILABLE: connection reset") == "transient"
+    assert classify_step_failure(
+        "RESOURCE_EXHAUSTED: Out of memory allocating 1234 bytes"
+    ) == "oom"
+    # OOM wins even if the message also mentions the compile service
+    assert classify_step_failure(
+        "remote_compile: RESOURCE_EXHAUSTED during compilation"
+    ) == "oom"
+    assert classify_step_failure("INVALID_ARGUMENT: shape mismatch") == "fatal"
