@@ -32,7 +32,7 @@ def score_vs_gt(root: str) -> dict:
         raise SystemExit("no overlapping segments")
     errs, rel_errs, n_tok = [], [], 0
     boundary_errs = []
-    gi = np.zeros(1)
+    gt_frames_per_token = []
     for name in common:
         p = np.asarray(pred[name][0], np.float64)
         g = np.asarray(gt[name][0], np.float64)
@@ -44,6 +44,7 @@ def score_vs_gt(root: str) -> dict:
         errs.extend(np.abs(pi - gi))
         rel_errs.extend(np.abs(pi - gi) / np.maximum(gi, 1.0))
         n_tok += len(pi)
+        gt_frames_per_token.extend(gi)
         # boundary positions (cumulative) are what matters downstream
         boundary_errs.extend(np.abs(np.cumsum(pi) - np.cumsum(gi)))
     return {
@@ -53,7 +54,7 @@ def score_vs_gt(root: str) -> dict:
         "median_abs_err_frames": round(float(np.median(errs)), 3),
         "p90_abs_err_frames": round(float(np.percentile(errs, 90)), 3),
         "mean_boundary_err_frames": round(float(np.mean(boundary_errs)), 3),
-        "frames_per_token_gt": round(float(np.mean(gi)), 2),
+        "frames_per_token_gt": round(float(np.mean(gt_frames_per_token)), 2),
     }
 
 

@@ -32,8 +32,8 @@ def _np(x) -> np.ndarray:
         # .numpy() SHARES memory with the live torch parameter: a later
         # in-place optimizer update on the torch side would silently
         # rewrite the "converted" weights before jax materializes them
-        # on device. Always copy.
-        x = x.detach().cpu().numpy().copy()
+        # on device. The np.array(copy=True) below breaks the sharing.
+        x = x.detach().cpu().numpy()
     return np.array(x, dtype=np.float32, copy=True)
 
 

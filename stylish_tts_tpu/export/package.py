@@ -23,6 +23,7 @@ A package directory contains:
 from __future__ import annotations
 
 import json
+import logging
 import os
 import os.path as osp
 from typing import Dict
@@ -37,6 +38,8 @@ from ..ops.duration import DurationProcessor
 from ..text import TextCleaner
 from ..trainer.normalization import NormalizationStats
 from ..utils.params_io import load_params_safetensors, save_params_safetensors
+
+logger = logging.getLogger("stylish_tts_tpu")
 
 INFERENCE_MODULES = (
     "speech_predictor",
@@ -97,6 +100,12 @@ def warmup_grid(
     frame-bucket range is [ (P+1)*p05, L*p95 ].  Without stats, the
     legacy expectation of ~8 frames/token (+1 bucket of slack).
     """
+    # A wide frames-per-token spread (fast AND slow speech in the
+    # corpus) can make p05..p95 span dozens of frame buckets per text
+    # bucket; every grid entry is an XLA compile at warmup, so cap the
+    # per-text-bucket count and thin evenly (the runtime still compiles
+    # skipped shapes lazily on first request).
+    MAX_FRAMES_PER_BUCKET = 8
     grid = []
     prev = 0
     for L in text_buckets:
@@ -105,7 +114,17 @@ def warmup_grid(
             hi_frames = L * duration_stats["frames_per_token_p95"]
             lo = frame_bucket(max(1, int(np.floor(lo_frames))))
             hi = frame_bucket(int(np.ceil(hi_frames)))
-            frames = range(lo, hi + 1, FRAME_BUCKET_STEP)
+            frames = list(range(lo, hi + 1, FRAME_BUCKET_STEP))
+            if len(frames) > MAX_FRAMES_PER_BUCKET:
+                idx = np.linspace(
+                    0, len(frames) - 1, MAX_FRAMES_PER_BUCKET
+                ).round().astype(int)
+                logger.warning(
+                    "warmup grid for text bucket %d spans %d frame buckets; "
+                    "thinning to %d (lazy-compile covers the rest)",
+                    L, len(frames), MAX_FRAMES_PER_BUCKET,
+                )
+                frames = [frames[i] for i in idx]
         else:
             expect = frame_bucket(L * 8)
             frames = (expect, expect + FRAME_BUCKET_STEP)

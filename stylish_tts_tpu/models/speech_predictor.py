@@ -35,7 +35,6 @@ class SpeechPredictor(nn.Module):
         rng: jax.Array,
         training: bool = False,
         prior=None,  # optional precomputed harmonic excitation
-        augment: bool = True,  # F0/N smoothing aug (when training)
         deterministic_prior: bool = False,  # zero sine-source noise/phase
     ) -> DecoderPrediction:
         mc = self.model_config
@@ -60,7 +59,7 @@ class SpeechPredictor(nn.Module):
             name="decoder",
         )(
             asr, pitch, energy, style, voiced, training=training,
-            smooth_rng=smooth_rng if augment else None,
+            smooth_rng=smooth_rng,
         )
 
         if mc.generator.type == "ringformer":

@@ -106,17 +106,26 @@ def load_checkpoint(
     state_path = osp.abspath(osp.join(path, "state"))
     try:
         state = ckpt.restore(state_path, target)
-    except Exception:
+    except Exception as exc:
         # Checkpoints written before TrainState grew the `frozen` field
         # have no such node at all; restore field-by-field into a plain
         # dict and rebuild the dataclass (resume is the documented
         # recovery path — never fail it on a pytree-structure detail).
+        # Only that structure mismatch is retried: anything else (corrupt
+        # dir, shape/config mismatch) re-raises the ORIGINAL error rather
+        # than burying it under a second, unrelated one.
+        msg = str(exc)
+        if not ("structure" in msg or "frozen" in msg or "tree" in msg):
+            raise
         legacy_target = {
             f.name: getattr(target, f.name)
             for f in fields(target)
             if f.name != "frozen"
         }
-        restored = ckpt.restore(state_path, legacy_target)
+        try:
+            restored = ckpt.restore(state_path, legacy_target)
+        except Exception:
+            raise exc
         state = TrainState(frozen={}, **restored)
     with open(osp.join(path, "manifest.json"), "r", encoding="utf-8") as f:
         manifest = Manifest.from_json(f.read())

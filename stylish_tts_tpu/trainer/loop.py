@@ -225,11 +225,16 @@ class Trainer:
     def data_path(self, name: str) -> str:
         return osp.join(self.config.dataset.path, name)
 
-    def build_dataset(self, list_name: str) -> FilePathDataset:
-        with open(self.data_path(list_name), encoding="utf-8") as f:
-            lines = f.readlines()
+    def build_dataset(
+        self, list_name: str, with_slm: bool = False
+    ) -> FilePathDataset:
+        # The slm-embedding cache is large (~3 MB/segment host RAM, ~50 MB
+        # per batch of device transfer) and only the acoustic step reads
+        # it — load it only when that stage will actually run.
         return FilePathDataset(
-            data_list=lines,
+            data_list=open(
+                self.data_path(list_name), encoding="utf-8"
+            ).readlines(),
             root_path=self.data_path(self.config.dataset.wav_path),
             text_cleaner=self.text_cleaner,
             sample_rate=self.mc.sample_rate,
@@ -237,7 +242,10 @@ class Trainer:
             pitch_path=self.data_path(self.config.dataset.pitch_path),
             alignment_path=self.data_path(self.config.dataset.alignment_path),
             dur_to_class=self.duration_processor.dur_to_class,
-            slm_path=self.data_path(self.config.dataset.slm_path),
+            slm_path=(
+                self.data_path(self.config.dataset.slm_path)
+                if with_slm else None
+            ),
         )
 
     def init_normalization(self, dataset: FilePathDataset, out_dir: str):
@@ -284,8 +292,17 @@ class Trainer:
         reset_stage: bool = False,
     ) -> TrainState:
         assert stage in STAGE_ORDER, stage
-        train_ds = self.build_dataset(self.config.dataset.train_data)
-        val_ds = self.build_dataset(self.config.dataset.val_data)
+        # Acoustic is never auto-advanced INTO (alignment does not chain),
+        # so the slm cache is relevant iff this invocation starts there.
+        with_slm = (
+            stage == "acoustic" and self.config.loss_weight.slm > 0
+        )
+        train_ds = self.build_dataset(
+            self.config.dataset.train_data, with_slm=with_slm
+        )
+        val_ds = self.build_dataset(
+            self.config.dataset.val_data, with_slm=with_slm
+        )
         train_bins, _ = train_ds.time_bins()
         val_bins, _ = val_ds.time_bins()
 
@@ -341,6 +358,10 @@ class Trainer:
             stage = NEXT_STAGE.get(stage)
             if stage is not None:
                 self.manifest = Manifest(stage=stage)
+                # post-acoustic stages never read slm_gt: free the cache
+                # RAM and stop shipping it with every batch
+                train_ds.slm = {}
+                val_ds.slm = {}
                 # fresh optimizer moments + step counter per stage
                 # (reference rebuilds the MultiOptimizer on stage advance,
                 # train.py:329-335 / stage.py:26)
@@ -399,6 +420,10 @@ class Trainer:
                 self.mc.slm.model,
                 allow_random_fallback=self.mc.slm.allow_random_fallback,
             )
+            if train_ds.slm:
+                from ..dataprep.slm_cache import check_fingerprint
+
+                check_fingerprint(train_ds.slm, wavlm_params)
             from ..models.slm import wavlm_loss
 
             slm_loss_fn = wavlm_loss

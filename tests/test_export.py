@@ -130,6 +130,32 @@ def test_duration_stats_from_cache_and_grid_coverage():
     assert legacy_hits / 200 < 0.5
 
 
+def test_warmup_grid_caps_wide_spread():
+    """A wide p05..p95 frames-per-token spread must not explode the
+    warmup compile count: per-text-bucket frame buckets are thinned to a
+    cap, with endpoints kept."""
+    from stylish_tts_tpu.export.package import TEXT_BUCKETS, warmup_grid
+
+    stats = {  # fast AND slow speakers: 2..12 frames/token
+        "frames_per_token_p05": 2.0,
+        "frames_per_token_p50": 6.0,
+        "frames_per_token_p95": 12.0,
+    }
+    grid = warmup_grid(TEXT_BUCKETS, stats)
+    per_bucket = {}
+    for L, F in grid:
+        per_bucket.setdefault(L, []).append(F)
+    prev = 0
+    for L in TEXT_BUCKETS:
+        frames = per_bucket[L]
+        assert len(frames) <= 8, (L, len(frames))
+        # endpoints of the un-thinned range survive (linspace keeps both)
+        assert min(frames) == frame_bucket(max(1, int((prev + 1) * 2.0)))
+        assert max(frames) == frame_bucket(int(np.ceil(12.0 * L)))
+        prev = L
+    assert len(grid) <= 8 * len(TEXT_BUCKETS)
+
+
 def test_generate_miss_path_compiles_on_demand(tmp_path):
     """A request outside the warmed grid must still synthesize (compile
     at request time) — the miss path is functional, just slower."""

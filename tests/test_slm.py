@@ -5,6 +5,7 @@ import os.path as osp
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
@@ -157,12 +158,35 @@ def test_slm_cache_through_dataset_and_collate(tmp_path, torch_model):
             slm_path=slm_path,
         )
 
+    from stylish_tts_tpu.dataprep.slm_cache import (
+        FINGERPRINT_KEY,
+        check_fingerprint,
+        wavlm_fingerprint,
+    )
+
     params = convert_torch_wavlm(torch_model.state_dict())
     cache = compute_slm_cache(build(), params, batch_size=2)
-    assert len(cache) == 2
+    assert len(cache) == 3  # 2 segments + the weight fingerprint
+    assert FINGERPRINT_KEY in cache
     out = osp.join(root, "slm.safetensors")
     write_slm_cache(out, cache)
     assert set(load_cache(out)) == set(cache)
+
+    # fingerprint ties the cache to the weights that built it
+    check_fingerprint(cache, params)  # same weights: fine
+    perturbed = jax.tree.map(lambda x: x, params)
+    leaf_path = next(iter(perturbed))
+    perturbed[leaf_path] = jax.tree.map(
+        lambda x: x + 1.0, perturbed[leaf_path]
+    )
+    assert not np.array_equal(
+        wavlm_fingerprint(perturbed), cache[FINGERPRINT_KEY]
+    )
+    with pytest.raises(RuntimeError, match="DIFFERENT WavLM weights"):
+        check_fingerprint(cache, perturbed)
+    # pre-fingerprint caches only warn
+    legacy = {k: v for k, v in cache.items() if k != FINGERPRINT_KEY}
+    check_fingerprint(legacy, perturbed)
 
     ds = build(slm_path=out)
     items = [ds.load_segment(i) for i in range(2) if True]

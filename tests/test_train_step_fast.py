@@ -152,3 +152,25 @@ def test_acoustic_gd_step_tiny_with_slm():
         assert float(metrics["slm"]) > 0.0
     finally:
         jax.config.update("jax_disable_most_optimizations", prev)
+
+
+def test_dryrun_factorization_overrides():
+    """ADVICE r2 item 4 + review: explicit slices/model overrides must be
+    honored — including 1 (single-slice pod, TP off) and when the auto
+    factorization declines (n % 4 != 0)."""
+    import __graft_entry__ as graft
+
+    # auto: 8 virtual devices -> 2 x 2 x 2
+    assert graft._resolve_factorization(8, None, None, None) == (2, 2, 2)
+    # explicit 1s are NOT "unset": single-slice pod with TP=4
+    assert graft._resolve_factorization(8, None, 1, 4) == (1, 2, 4)
+    # TP off entirely
+    assert graft._resolve_factorization(8, None, 2, 1) == (2, 4, 1)
+    # n % 4 != 0: auto declines, explicit override still works
+    assert graft._resolve_factorization(6, None, None, None) is None
+    assert graft._resolve_factorization(6, None, 1, 2) == (1, 3, 2)
+    # indivisible request fails loudly, not silently rewritten
+    import pytest
+
+    with pytest.raises(AssertionError):
+        graft._resolve_factorization(8, None, 3, 1)

@@ -93,3 +93,29 @@ def test_classify_step_failure():
         "remote_compile: RESOURCE_EXHAUSTED during compilation"
     ) == "oom"
     assert classify_step_failure("INVALID_ARGUMENT: shape mismatch") == "fatal"
+
+
+def test_slm_cache_gated_on_stage(workdir):
+    """The large slm-embedding cache loads only for acoustic runs with
+    slm weight > 0 (review: alignment/textual/duration runs and
+    slm-weight-0 runs must not pay host RAM + per-batch transfer)."""
+    import numpy as np
+    from stylish_tts_tpu.trainer.loop import Trainer
+
+    cfg, mc = _configs(workdir)
+    # drop a fake slm cache where dataset.slm_path points
+    slm_path = str(workdir / "data" / cfg.dataset.slm_path)
+    from stylish_tts_tpu.data.caches import save_cache
+
+    with open(workdir / "data" / cfg.dataset.train_data,
+              encoding="utf-8") as f:
+        names = [line.split("|")[0] for line in f if line.strip()]
+    save_cache(slm_path, {
+        n: np.zeros((13, 4, 768), np.float16) for n in names
+    })
+
+    trainer = Trainer(cfg, mc, str(workdir / "out_slm"))
+    assert trainer.build_dataset(cfg.dataset.train_data).slm == {}
+    assert trainer.build_dataset(
+        cfg.dataset.train_data, with_slm=True
+    ).slm != {}
