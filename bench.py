@@ -18,11 +18,37 @@ Measurement protocol (VERDICT r2 item 6):
 from __future__ import annotations
 
 import json
+import os
+import os.path as osp
 import sys
 import time
 
 V5E_BF16_PEAK_FLOPS = 197e12  # per chip (jax-ml.github.io/scaling-book)
 REPEATS = 3
+
+
+def _setup_jax_cache():
+    """Same persistent XLA compile cache as the CLI (cli.py): a fresh
+    bench process otherwise pays multi-minute remote compiles for the
+    train-step program every run; with the cache, any prior run (CLI
+    training or an earlier bench) primes this one."""
+    cache_dir = os.environ.get(
+        "STYLISH_TPU_CACHE",
+        osp.join(osp.expanduser("~"), ".cache", "stylish_tts_tpu", "xla"),
+    )
+    if cache_dir == "0":
+        return
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
+_setup_jax_cache()
 
 
 def _time_min_median(run_iters, repeats=REPEATS):

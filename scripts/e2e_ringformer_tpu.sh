@@ -3,22 +3,23 @@
 # (VERDICT r2 item 7: the variant had parity + step tests but had never
 # run a full stage). Reuses a completed freegan e2e workdir's caches
 # (pitch/alignment/aligner) so only the acoustic stage runs here.
-#   usage: e2e_ringformer_tpu.sh <freegan_workdir> [ring_workdir]
+#   usage: e2e_ringformer_tpu.sh <freegan_workdir> [ring_workdir] [epochs]
 set -ex
 cd "$(dirname "$0")/.."
 SRC=${1:-/tmp/formant_e2e}
 WORK=${2:-/tmp/formant_ring}
+EPOCHS=${3:-40}
 test -f "$SRC/data/alignment.safetensors"
 rm -rf "$WORK"
 mkdir -p "$WORK"
 
-env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python - "$SRC" "$WORK" <<'EOF'
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python - "$SRC" "$WORK" "$EPOCHS" <<'EOF'
 import sys, yaml
-src, work = sys.argv[1], sys.argv[2]
+src, work, epochs = sys.argv[1], sys.argv[2], int(sys.argv[3])
 cfg = yaml.safe_load(open(f"{src}/config.yml"))
 # acoustic only; same data + caches as the freegan run
 cfg["training_plan"] = {
-    "acoustic": {"epochs": 40, "probe_batch_max": 8, "lr": 1e-4},
+    "acoustic": {"epochs": epochs, "probe_batch_max": 8, "lr": 1e-4},
 }
 open(f"{work}/config.yml", "w").write(yaml.dump(cfg))
 mc = yaml.safe_load(open(f"{src}/model.yml")) or {}
