@@ -5,50 +5,36 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extra"}.
 Baseline target (BASELINE.md): RTF <= 0.02 per v5e chip;
 vs_baseline = 0.02 / measured_rtf (>1 means better than target).
 
-Measurement protocol (VERDICT r2 item 6):
+Measurement protocol (VERDICT r2 item 6 + r3 item 1):
   * every timing is min/median over REPEATS x ITERS batches — a single
     mean hid the r1->r2 RTF drift (tunnel noise vs real regression);
   * the training step is benchmarked with state donation
     (donate_argnums=(0,)), the production configuration
     (trainer/loop.py jit_data_parallel_step donate_state=True);
-  * the XLA-reported FLOP count per step is captured so the driver
-    records achieved TFLOP/s + MFU vs the v5e bf16 peak each round.
+  * MFU is computed from an ANALYTIC matmul+conv FLOP count of the
+    exact step being timed (utils/flops.py) — NOT from XLA cost
+    analysis, which statically sums every `lax.switch` branch and remat
+    recompute and produced the physically impossible 1.09 MFU of round
+    3. The XLA number is still reported, clearly labelled, for
+    round-over-round comparability. The analytic count excludes
+    elementwise/FFT work, so the MFU it yields is a principled
+    underestimate; any value >= SUSPECT_MFU is flagged and >= 1.0 is
+    reported as a measurement error instead of a result.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import os.path as osp
 import sys
 import time
 
+from stylish_tts_tpu.utils.jax_cache import setup_persistent_cache
+
 V5E_BF16_PEAK_FLOPS = 197e12  # per chip (jax-ml.github.io/scaling-book)
+SUSPECT_MFU = 0.9
 REPEATS = 3
 
-
-def _setup_jax_cache():
-    """Same persistent XLA compile cache as the CLI (cli.py): a fresh
-    bench process otherwise pays multi-minute remote compiles for the
-    train-step program every run; with the cache, any prior run (CLI
-    training or an earlier bench) primes this one."""
-    cache_dir = os.environ.get(
-        "STYLISH_TPU_CACHE",
-        osp.join(osp.expanduser("~"), ".cache", "stylish_tts_tpu", "xla"),
-    )
-    if cache_dir == "0":
-        return
-    try:
-        import jax
-
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
-
-
-_setup_jax_cache()
+setup_persistent_cache(warn_stderr=True)
 
 
 def _time_min_median(run_iters, repeats=REPEATS):
@@ -57,9 +43,46 @@ def _time_min_median(run_iters, repeats=REPEATS):
     return vals[0], vals[len(vals) // 2]
 
 
-def bench_train_step(batch: int = 16, frames: int = 240, iters: int = 10):
+def _mfu_fields(analytic_flops, xla_flops, dt_min, lower_bound):
+    """MFU accounting that cannot print an impossible number."""
+    out = {}
+    if xla_flops:
+        out["xla_cost_analysis_flops"] = xla_flops
+        out["xla_flops_note"] = (
+            "static HLO count: sums ALL lax.switch branches + remat "
+            "recompute; NOT used for MFU"
+        )
+    if analytic_flops:
+        achieved = analytic_flops / dt_min
+        mfu = achieved / V5E_BF16_PEAK_FLOPS
+        out["analytic_mxu_flops_per_step"] = analytic_flops
+        out["achieved_mxu_tflops"] = round(achieved / 1e12, 2)
+        if lower_bound:
+            out["analytic_flops_note"] = "contains a while-loop counted once"
+        if mfu >= 1.0:
+            out["mfu_error"] = (
+                f"computed MFU {mfu:.3f} >= 1.0 is physically impossible; "
+                "treat this round's FLOP count or timing as broken"
+            )
+        else:
+            out["mfu_vs_v5e_bf16_peak"] = round(mfu, 4)
+            if mfu >= SUSPECT_MFU:
+                out["mfu_suspect"] = True
+    return out
+
+
+def bench_train_step(batch: int = 16, frames: int = 240, iters: int = 10,
+                     donate: bool = True, sampled_mrd: bool = True,
+                     aot: bool = True, count_flops: bool = True):
     """Acoustic G+D step time on the full-size model (reference parity:
-    /root/reference/src/stylish_tts/train/stage_type.py acoustic stage)."""
+    /root/reference/src/stylish_tts/train/stage_type.py acoustic stage).
+
+    donate/sampled_mrd/aot parametrize the measurement so regressions can
+    be bisected between the production configuration (all True — what
+    trainer/loop.py runs) and the round-2 bench configuration
+    (donate=False, sampled_mrd=False, aot=False); see
+    scripts/bisect_step_regression.py and PERF.md round 4.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -81,6 +104,7 @@ def bench_train_step(batch: int = 16, frames: int = 240, iters: int = 10):
     ctx = StepContext(
         models, mc, cfg.loss_weight.model_dump(), NormalizationStats(),
         stage_steps=10000, base_lr=1e-4, mixed_precision=True,
+        sampled_mrd_only=sampled_mrd,
     )
 
     B, L, F = batch, 64, frames
@@ -93,20 +117,36 @@ def bench_train_step(batch: int = 16, frames: int = 240, iters: int = 10):
         jnp.full((B, F), 120.0, jnp.float32),
         jnp.full((B, L), F // L, jnp.int32),
     )
-    # the production configuration donates the state (trainer/loop.py);
-    # lower+compile once and reuse the executable (a second jit-cache
-    # compile through the remote-compile tunnel costs minutes)
-    step = jax.jit(
-        make_acoustic_step(ctx), donate_argnums=(0,)
-    ).lower(state, data).compile()
 
-    flops = None
-    try:
-        ca = step.cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    step_fn = make_acoustic_step(ctx)
+    donate_args = (0,) if donate else ()
+    jitted = jax.jit(step_fn, donate_argnums=donate_args)
+    xla_flops = None
+    if aot:
+        # lower+compile once, reuse the executable (a second jit-cache
+        # compile through the remote-compile tunnel costs minutes)
+        step = jitted.lower(state, data).compile()
+        try:
+            ca = step.cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            xla_flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            pass
+    else:
+        step = jitted
+
+    analytic = None
+    lower_bound = False
+    if count_flops:
+        try:
+            from stylish_tts_tpu.utils.flops import count_fn
+
+            fc = count_fn(step_fn, state, data)
+            analytic = fc.total
+            lower_bound = fc.lower_bound
+        except Exception as exc:
+            print(f"warning: analytic FLOP count failed: {exc}",
+                  file=sys.stderr)
 
     holder = {"state": state}
     holder["state"], metrics = step(holder["state"], data)
@@ -129,15 +169,13 @@ def bench_train_step(batch: int = 16, frames: int = 240, iters: int = 10):
         "batch": B,
         "frames": F,
         "mixed_precision": True,
-        "donated": True,
+        "donated": donate,
+        "sampled_mrd": sampled_mrd,
+        "aot": aot,
         "repeats": REPEATS,
         "iters_per_repeat": iters,
     }
-    if flops:
-        achieved = flops / dt_min
-        out["xla_flops_per_step"] = flops
-        out["achieved_tflops"] = round(achieved / 1e12, 2)
-        out["mfu_vs_v5e_bf16_peak"] = round(achieved / V5E_BF16_PEAK_FLOPS, 4)
+    out.update(_mfu_fields(analytic, xla_flops, dt_min, lower_bound))
     return out
 
 

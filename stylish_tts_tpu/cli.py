@@ -26,23 +26,11 @@ logger = logging.getLogger("stylish_tts_tpu")
 
 
 def _setup_jax_cache():
-    """Persistent XLA compilation cache: CLI invocations share compiled
-    programs instead of paying the multi-minute compile per process.
+    """Persistent XLA compilation cache (shared impl: utils/jax_cache.py).
     Override dir with STYLISH_TPU_CACHE; disable with =0."""
-    cache_dir = os.environ.get(
-        "STYLISH_TPU_CACHE",
-        osp.join(osp.expanduser("~"), ".cache", "stylish_tts_tpu", "xla"),
-    )
-    if cache_dir == "0":
-        return
-    try:
-        import jax
+    from .utils.jax_cache import setup_persistent_cache
 
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception as exc:
-        logger.debug("compilation cache unavailable: %s", exc)
+    setup_persistent_cache(logger=logger)
 
 
 def _load_configs(config_path, model_config_path, checkpoint=None):

@@ -306,6 +306,38 @@ def convert_generator(sd, conv_layers: int, upsample_rates=(3, 5, 5)) -> Params:
     return out
 
 
+def convert_upsample_generator(
+    sd, n_up: int, num_kernels: int = 3, conformer_depth: int = 2
+) -> Params:
+    """reference generator.UpsampleGenerator (generator.py:66-259), the
+    ringformer vocoder — for models.ringformer.UpsampleGenerator with
+    faithful=True (exact transposed-conv upsampling).
+
+    The weight-normed ConvTranspose1d kernels (in, out, k) are folded by
+    fold_state_dict, then flipped along k and laid out (k, in, out) so
+    TransposeConv1d's lhs-dilated regular conv computes the identical
+    function."""
+    out: Params = {"conv_post": conv1d_w(sd, "conv_post")}
+    for i in range(n_up + 1):
+        a = np.asarray(sd[f"alphas.{i}"])  # (1, C, 1)
+        name = f"alpha_{i}" if i < n_up else "alpha_post"
+        out[name] = a.transpose(0, 2, 1)
+    for i in range(n_up):
+        w = np.asarray(sd[f"ups.{i}.weight"])  # (in, out, k)
+        out[f"up_{i}"] = {
+            "kernel": w.transpose(2, 0, 1)[::-1].copy(),
+            "bias": np.asarray(sd[f"ups.{i}.bias"]),
+        }
+        out[f"conformer_{i}"] = conformer(sd, f"conformers.{i}", conformer_depth)
+        out[f"noise_conv_{i}"] = conv(sd, f"noise_convs.{i}")
+        out[f"noise_res_{i}"] = ada_generator_block(sd, f"noise_res.{i}")
+        for j in range(num_kernels):
+            out[f"resblock_{i}_{j}"] = ada_generator_block(
+                sd, f"resblocks.{i * num_kernels + j}"
+            )
+    return out
+
+
 def convert_multi_generator(sd, conformer_layers: int, conv_layers: int) -> Params:
     """reference generator.MultiGenerator (generator.py:802-901)."""
     return {

@@ -56,8 +56,16 @@ def _forward_basis(n_fft: int, win_length: int) -> np.ndarray:
     n = np.arange(n_fft)
     k = np.arange(freq_bins)
     angle = 2.0 * np.pi * np.outer(k, n) / n_fft
-    real = (np.cos(angle) * window).astype(np.float32)
-    imag = (-np.sin(angle) * window).astype(np.float32)
+    cos, sin = np.cos(angle), np.sin(angle)
+    # exactify the DC and (even n_fft) Nyquist rows: mathematically
+    # sin == 0 and cos == (-1)^n there, but fp sin(pi*n) leaves ~1e-15
+    # residue whose RANDOM SIGN flips atan2 phases between +pi and -pi
+    # vs torch's exact +0 imaginary part (the ringformer har_phase path)
+    cos[0], sin[0] = 1.0, 0.0
+    if n_fft % 2 == 0 and freq_bins == n_fft // 2 + 1:
+        cos[-1], sin[-1] = np.where(n % 2 == 0, 1.0, -1.0), 0.0
+    real = (cos * window).astype(np.float32)
+    imag = (-sin * window).astype(np.float32)
     return np.concatenate([real, imag], axis=0)[:, None, :]
 
 

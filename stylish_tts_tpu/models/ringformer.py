@@ -80,6 +80,40 @@ def generate_pcph(
     return jnp.sum(harmonics, axis=1) * upsample(amplitude)[:, 0]  # (B, T)
 
 
+class TransposeConv1d(nn.Module):
+    """Exact torch ConvTranspose1d(stride, kernel, padding) over (B, T, C).
+
+    Used only by the import-faithful ringformer path: expresses the
+    transposed conv as an lhs-dilated regular conv (XLA decomposes it
+    into `stride` strided sub-convs on TPU). The kernel is stored
+    pre-flipped in regular-conv layout (k, in, out) — see
+    convert.torch_import.convert_upsample_generator for the mapping from
+    the torch (in, out, k) ConvTranspose weight. Output length is
+    (T-1)*stride + kernel - 2*padding, matching torch exactly
+    (reference generator.py:110-118 weight-normed ConvTranspose1d)."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int  # torch ConvTranspose1d padding
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        pad = self.kernel_size - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1,), padding=[(pad, pad)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        return y + bias
+
+
 class UpsampleGenerator(nn.Module):
     style_dim: int
     resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
@@ -93,23 +127,39 @@ class UpsampleGenerator(nn.Module):
     gen_istft_hop_size: int = 15
     sample_rate: int = 24000
     conformer_depth: int = 2
+    # faithful=True reproduces the torch reference's exact forward for
+    # ported checkpoints (tests/test_parity_torch.py): real transposed
+    # convs (reference kernel sizes), reflect STFT padding, the last
+    # layer's ReflectionPad1d((1,0)) on the prior branch, and no output
+    # tanh. The default (False) is the TPU redesign: pixel-shuffle
+    # upsampling, edge padding, tanh-bounded output.
+    faithful: bool = False
+    upsample_kernel_sizes: Sequence[int] | None = None
 
     @nn.compact
     def __call__(
-        self, *, mel, style, pitch, energy, voiced, rng, training: bool = False
+        self, *, mel, style, pitch, energy, voiced, rng,
+        training: bool = False, prior=None,
     ) -> DecoderPrediction:
-        """mel (B, frames, C); pitch/voiced (B, frames)."""
+        """mel (B, frames, C); pitch/voiced (B, frames).
+
+        prior: optional injected excitation waveform replacing the pcph
+        harmonic prior — parity harnesses use a broadband injection
+        because a harmonic prior's near-zero STFT bins make atan2 phase
+        pure round-off noise that no two STFT implementations can agree
+        on (same rationale as StepContext.parity_prior)."""
         prior_hop = int(
             math.prod(self.upsample_rates) * self.gen_istft_hop_size
         )
-        prior = jax.lax.stop_gradient(
-            generate_pcph(
+        if prior is None:
+            prior = generate_pcph(
                 pitch, voiced, prior_hop, self.sample_rate, rng
             )
-        )
+        prior = jax.lax.stop_gradient(prior)
         har_mag, har_x, har_y = stft_lib.stft_magnitude_unit_phase(
             prior, self.gen_istft_n_fft, self.gen_istft_hop_size,
-            self.gen_istft_n_fft, center=True, pad_mode="edge",
+            self.gen_istft_n_fft, center=True,
+            pad_mode="reflect" if self.faithful else "edge",
         )
         har_phase = jnp.arctan2(har_y * har_mag, har_x * har_mag)
         har = jnp.concatenate(
@@ -128,14 +178,27 @@ class UpsampleGenerator(nn.Module):
             x = Conformer(
                 dim=x.shape[-1], depth=self.conformer_depth,
                 attn_dropout=0.1, ff_dropout=0.1, conv_dropout=0.1,
+                # imported torch checkpoints carry folded BatchNorm stats
+                norm_mode="affine" if self.faithful else "group",
                 name=f"conformer_{i}",
             )(x, style, training=training)
 
             out_ch = ch // (2 ** (i + 1))
-            # dense-expand + pixel shuffle (MXU) instead of conv_transpose
-            h = Conv1d(out_ch * rate, rate * 2, name=f"up_{i}")(x)
-            b, t, _ = h.shape
-            x = h.reshape(b, t, rate, out_ch).reshape(b, t * rate, out_ch)
+            if self.faithful:
+                # exact reference ConvTranspose1d (generator.py:110-118)
+                k_up = (
+                    self.upsample_kernel_sizes[i]
+                    if self.upsample_kernel_sizes is not None
+                    else rate * 2
+                )
+                x = TransposeConv1d(
+                    out_ch, k_up, rate, (k_up - rate) // 2, name=f"up_{i}"
+                )(x)
+            else:
+                # dense-expand + pixel shuffle (MXU) instead of conv_transpose
+                h = Conv1d(out_ch * rate, rate * 2, name=f"up_{i}")(x)
+                b, t, _ = h.shape
+                x = h.reshape(b, t, rate, out_ch).reshape(b, t * rate, out_ch)
 
             # harmonic prior injection at this scale
             stride_f0 = int(math.prod(self.upsample_rates[i + 1:]))
@@ -147,12 +210,22 @@ class UpsampleGenerator(nn.Module):
                 )(har)
             else:
                 xs = nn.Conv(out_ch, (1,), name=f"noise_conv_{i}")(har)
+            if self.faithful and i + 1 == n_up:
+                # reference reflection_pad = ReflectionPad1d((1, 0)) on the
+                # prior branch of the LAST scale (generator.py:243-246)
+                xs = jnp.concatenate([xs[:, 1:2, :], xs], axis=1)
+            if not self.faithful:
+                xs = xs[:, : x.shape[1], :]
             xs = AdaptiveGeneratorBlock(
                 out_ch, kernel_size=7 if i + 1 < n_up else 11,
                 dilations=(1, 3, 5), name=f"noise_res_{i}",
-            )(xs[:, : x.shape[1], :], style)
-            frames_i = min(x.shape[1], xs.shape[1])
-            x = x[:, :frames_i, :] + xs[:, :frames_i, :]
+            )(xs, style)
+            if self.faithful:
+                assert x.shape[1] == xs.shape[1], (x.shape, xs.shape)
+                x = x + xs
+            else:
+                frames_i = min(x.shape[1], xs.shape[1])
+                x = x[:, :frames_i, :] + xs[:, :frames_i, :]
 
             acc = None
             for j, (k, d) in enumerate(
@@ -185,8 +258,10 @@ class UpsampleGenerator(nn.Module):
             self.gen_istft_n_fft, center=True, normalize_window=True,
             length=mel.shape[1] * prior_hop,
         )
+        # the reference head emits raw iSTFT audio (generator.py:255-259);
+        # the TPU redesign tanh-bounds it as a from-scratch stabilizer
         return DecoderPrediction(
-            audio=jnp.tanh(audio),
+            audio=audio if self.faithful else jnp.tanh(audio),
             magnitude=jnp.moveaxis(logamp, 1, 2),
             phase=jnp.moveaxis(phase, 1, 2),
         )

@@ -668,3 +668,99 @@ def test_generate_pcph_parity():
     ))
     assert got.shape == want.shape
     assert max_rel(got, want) < 1e-3, max_rel(got, want)
+
+
+def test_upsample_generator_parity():
+    """Full ringformer vocoder (UpsampleGenerator) vs the reference
+    (generator.py:66-259) with ported weights, faithful mode.
+
+    A fixed broadband excitation is injected as the prior on BOTH sides
+    (pcph itself is golden-tested above): a harmonic prior's near-zero
+    STFT bins make atan2 phase round-off noise no two STFT
+    implementations agree on (see UpsampleGenerator docstring)."""
+    ref = ref_module("generator")
+    B, T = 2, 4
+    rates, kerns = (4, 5), (8, 10)
+    tm = ref.UpsampleGenerator(
+        style_dim=8,
+        resblock_kernel_sizes=[3, 7, 11],
+        upsample_rates=list(rates),
+        upsample_initial_channel=32,
+        upsample_last_channel=8,
+        resblock_dilation_sizes=[[1, 3, 5]] * 3,
+        upsample_kernel_sizes=list(kerns),
+        gen_istft_n_fft=60,
+        gen_istft_hop_size=15,
+        sample_rate=24000,
+    )
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, torch.nn.BatchNorm1d):
+                mod.running_mean.normal_(0.0, 0.5)
+                mod.running_var.uniform_(0.5, 2.0)
+    tm.eval()
+    sd = fold_state_dict(tm.state_dict())
+    params = {"params": ti.convert_upsample_generator(sd, n_up=2)}
+
+    prior_hop = 4 * 5 * 15
+    prior = (np.random.randn(B, T * prior_hop) * 0.1).astype(np.float32)
+    # zero the edge samples: the center-reflect-padded first/last STFT
+    # frames are even-symmetric, so their DFT is purely real and the
+    # har_phase there is +-pi ROUND-OFF SIGN NOISE on both frameworks
+    # (torch's own imag is ~1e-8 there); all-zero edge frames give a
+    # well-defined phase of 0 on both sides instead.
+    prior[:, :60] = 0.0
+    prior[:, -60:] = 0.0
+    tm.prior_generator = lambda f0, vuv, **kw: torch.from_numpy(prior)[
+        :, None, :
+    ]
+
+    mel = np.random.randn(B, 32, T).astype(np.float32)
+    style = np.random.randn(B, 8).astype(np.float32)
+    pitch = np.full((B, T), 220.0, np.float32)
+    energy = np.random.randn(B, T).astype(np.float32)
+    voiced = np.ones((B, T), np.float32)
+    with torch.no_grad():
+        want = tm(
+            torch.from_numpy(mel), torch.from_numpy(style),
+            torch.from_numpy(pitch), torch.from_numpy(energy),
+            torch.from_numpy(voiced),
+        )
+
+    from stylish_tts_tpu.models.ringformer import UpsampleGenerator
+
+    fm = UpsampleGenerator(
+        style_dim=8,
+        resblock_kernel_sizes=(3, 7, 11),
+        upsample_rates=rates,
+        upsample_initial_channel=32,
+        upsample_last_channel=8,
+        gen_istft_n_fft=60,
+        gen_istft_hop_size=15,
+        sample_rate=24000,
+        conformer_depth=2,
+        faithful=True,
+        upsample_kernel_sizes=kerns,
+    )
+    got = fm.apply(
+        params,
+        mel=jnp.asarray(mel.transpose(0, 2, 1)),
+        style=jnp.asarray(style),
+        pitch=jnp.asarray(pitch),
+        energy=jnp.asarray(energy),
+        voiced=jnp.asarray(voiced),
+        rng=None,
+        prior=jnp.asarray(prior),
+    )
+    want_audio = want.audio.numpy().reshape(B, -1)
+    got_audio = np.asarray(got.audio).reshape(B, -1)
+    assert got_audio.shape == want_audio.shape, (
+        got_audio.shape, want_audio.shape
+    )
+    # the magnitude/phase heads feed the MagPhase loss during training
+    assert max_rel(
+        np.asarray(got.magnitude), want.magnitude.numpy()
+    ) < 1e-3
+    assert max_rel(got_audio, want_audio) < 1e-3, max_rel(
+        got_audio, want_audio
+    )

