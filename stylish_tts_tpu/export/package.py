@@ -340,3 +340,43 @@ class InferencePackage:
         )
         samples = total * self.mc.hop_length * self.mc.coarse_multiplier
         return np.asarray(audio)[0, :samples]
+
+    def generate_speech_batch(
+        self, token_lists, speech_styles, pe_styles, duration_styles,
+        speed: float = 1.0,
+    ):
+        """Batched synthesis: list of token arrays -> list of waveforms.
+
+        The deployment configuration for throughput serving: the whole
+        request batch is padded to one (text-bucket, frame-bucket) pair
+        and runs the SAME compiled two-phase graphs as generate_speech,
+        just with a leading batch dimension (one extra compile per batch
+        size, cached thereafter). Styles are per-utterance (B, style_dim)
+        or a single shared vector."""
+        b = len(token_lists)
+        lens = np.asarray([t.shape[0] for t in token_lists], np.int32)
+        L = text_bucket(int(lens.max()))
+        texts = np.zeros((b, L), np.int32)
+        for i, t in enumerate(token_lists):
+            texts[i, : t.shape[0]] = t
+
+        def tile(style):
+            s = np.asarray(style, np.float32)
+            return np.broadcast_to(s, (b, self.mc.style_dim)) if s.ndim == 1 \
+                else s
+
+        durations = self._duration_fn(L)(
+            self.params["duration_predictor"], jnp.asarray(texts),
+            jnp.asarray(lens), jnp.asarray(tile(duration_styles)),
+        )
+        durations = np.asarray(durations) / speed
+        totals = np.round(durations.sum(axis=1)).astype(int)
+        F = frame_bucket(int(totals.max()))
+        audio = self._acoustic_fn(L, F)(
+            self.params, jnp.asarray(texts), jnp.asarray(lens),
+            jnp.asarray(durations),
+            jnp.asarray(tile(pe_styles)), jnp.asarray(tile(speech_styles)),
+        )
+        audio = np.asarray(audio)
+        hop = self.mc.hop_length * self.mc.coarse_multiplier
+        return [audio[i, : totals[i] * hop] for i in range(b)]

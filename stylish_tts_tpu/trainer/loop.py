@@ -463,6 +463,10 @@ class Trainer:
         window: List[Dict[str, float]] = []
         t_start = time.time()
         audio_seconds_trained = 0.0
+        # wall breakdown: host blocked on the loader vs dispatching the
+        # step vs waiting on the device (the metrics float() sync) —
+        # tells an adopter whether they are loader- or device-bound
+        t_loader = t_dispatch = t_sync = 0.0
         start_epoch = self.manifest.current_epoch
 
         from ..data.loader import PrefetchLoader
@@ -476,14 +480,25 @@ class Trainer:
                 device_put=lambda b: jax.device_put(b, sharding),
                 depth=max(self.config.training.data_workers // 2, 2),
             )
-            for i, (time_bin, batch, _paths) in enumerate(loader):
+            loader_iter = iter(loader)
+            i = -1
+            while True:
+                t0 = time.perf_counter()
+                try:
+                    time_bin, batch, _paths = next(loader_iter)
+                except StopIteration:
+                    break
+                t_loader += time.perf_counter() - t0
+                i += 1
                 if skip_batches > 0:
                     skip_batches -= 1
                     continue
                 skip_batch = False
                 for attempt in range(1, TRANSIENT_COMPILE_RETRIES + 1):
                     try:
+                        t0 = time.perf_counter()
                         state, metrics = step_fn(state, batch)
+                        t_dispatch += time.perf_counter() - t0
                         break
                     except Exception as exc:
                         msg = str(exc)
@@ -539,7 +554,9 @@ class Trainer:
                     continue
                 self.manifest.current_step = i + 1
                 self.manifest.current_total_step += 1
+                t0 = time.perf_counter()
                 window.append({k: float(v) for k, v in metrics.items()})
+                t_sync += time.perf_counter() - t0
                 audio_seconds_trained += (
                     batch.audio_gt.shape[0] * batch.audio_gt.shape[1]
                     / self.mc.sample_rate
@@ -587,9 +604,12 @@ class Trainer:
 
         elapsed = time.time() - t_start
         logger.info(
-            "stage %s done: %d steps, %.1f s, %.3f audio-hours trained",
+            "stage %s done: %d steps, %.1f s, %.3f audio-hours trained "
+            "(wall split: loader-wait %.1fs, step dispatch %.1fs, "
+            "device sync %.1fs; first-step compiles dominate dispatch "
+            "on a cold cache)",
             stage, self.manifest.current_total_step, elapsed,
-            audio_seconds_trained / 3600.0,
+            audio_seconds_trained / 3600.0, t_loader, t_dispatch, t_sync,
         )
         save_checkpoint(
             out_dir, state, self.manifest, cfg, self.mc, self.normalization

@@ -26,13 +26,19 @@ def make_micro_dataset(
     root: str, n_train: int = 6, n_val: int = 2, sample_rate: int = 24000,
     hop: int = 300, with_caches: bool = True, seed: int = 0,
     uniform_duration: bool = False, voice: str = "sine",
+    target_s_choices=None,
 ):
     """Create wav-dir + train/val lists (+ pitch & alignment caches).
 
     voice="formant" synthesizes speech-shaped audio (glottal source +
     formant resonators per phoneme, tests/formant_speech.py) with
     ground-truth per-phoneme durations in the align cache; "sine" keeps
-    the fast chirp fixtures."""
+    the fast chirp fixtures.
+
+    target_s_choices: optional list of formant utterance lengths in
+    seconds, cycled per segment — a multi-bin corpus for the
+    compile-budget experiments (default: the two-bin 1.1/1.45 s fast
+    fixture)."""
     rng = np.random.default_rng(seed)
     wav_dir = osp.join(root, "wav-dir")
     os.makedirs(wav_dir, exist_ok=True)
@@ -52,11 +58,17 @@ def make_micro_dataset(
                     phonemes = random_phrase(
                         np.random.default_rng(seed * 7919 + offset + i)
                     )
+                if target_s_choices:
+                    target_s = target_s_choices[
+                        (i + offset) % len(target_s_choices)
+                    ]
+                else:
+                    # two duration bins -> two compiled programs per stage
+                    target_s = 1.1 if (i + offset) % 2 else 1.45
                 audio, ph_durs, f0_samples = synth_utterance(
                     phonemes, sample_rate, seed=seed * 1000 + offset + i,
                     f0_start=float(rng.uniform(120, 180)),
-                    # two duration bins -> two compiled programs per stage
-                    target_s=1.1 if (i + offset) % 2 else 1.45,
+                    target_s=target_s,
                 )
                 samples = len(audio)
             else:

