@@ -15,11 +15,20 @@ Measurement protocol (VERDICT r2 item 6 + r3 item 1):
     exact step being timed (utils/flops.py) — NOT from XLA cost
     analysis, which statically sums every `lax.switch` branch and remat
     recompute and produced the physically impossible 1.09 MFU of round
-    3. The XLA number is still reported, clearly labelled, for
-    round-over-round comparability. The analytic count excludes
-    elementwise/FFT work, so the MFU it yields is a principled
-    underestimate; any value >= SUSPECT_MFU is flagged and >= 1.0 is
-    reported as a measurement error instead of a result.
+    3. The analytic counter handles `lax.switch` as the branch mean and
+    lhs-dilated (transposed) convs as their real tap count — counting
+    those dense overstated the step 4x (the iSTFT overlap-add gradient
+    is a conv with K=n_fft, lhs_dilation=hop). The XLA number is still
+    reported, clearly labelled, for round-over-round comparability.
+    The analytic count excludes elementwise/FFT work, so the MFU it
+    yields is a principled underestimate; any value >= SUSPECT_MFU is
+    flagged and >= 1.0 is reported as a measurement error instead of a
+    result.
+  * a large-matmul chip-speed canary runs alongside every bench: the
+    axon tunnel's effective speed drifts between sessions (the same
+    step binary measured 21 ms one day, 36 ms another), so step-time
+    deltas across rounds are only meaningful relative to that day's
+    canary TFLOP/s.
 """
 
 from __future__ import annotations
@@ -41,6 +50,51 @@ def _time_min_median(run_iters, repeats=REPEATS):
     vals = [run_iters() for _ in range(repeats)]
     vals.sort()
     return vals[0], vals[len(vals) // 2]
+
+
+def bench_canary(n: int = 4096, iters: int = 20):
+    """Chip-speed canary: one large bf16 matmul chain, achieved TFLOP/s.
+
+    Round 3 -> round 4 showed the same step code measuring 21 ms one day
+    and 36 ms another on "the same" chip — the axon tunnel's effective
+    dispatch/device speed drifts between sessions. Every bench now
+    records this canary so cross-round step-time comparisons can be
+    normalized by actual chip speed that day instead of guessed at.
+    A healthy v5e sustains ~85-95% of the 197 TFLOP/s bf16 peak on this
+    shape; a canary far below that means the *environment*, not the
+    code, regressed.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.ones((n, n), jnp.bfloat16)
+    b = jnp.ones((n, n), jnp.bfloat16)
+
+    @jax.jit
+    def chain(a, b):
+        # 8 dependent matmuls per call to amortize dispatch
+        for _ in range(8):
+            a = (a @ b) * (1.0 / n)
+        return a
+
+    chain(a, b).block_until_ready()
+
+    def run_iters():
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = chain(a, b)
+        out.block_until_ready()
+        return (time.perf_counter() - t0) / iters
+
+    dt_min, dt_med = _time_min_median(run_iters)
+    flops_per_call = 8 * 2.0 * n * n * n
+    return {
+        "canary_bf16_tflops": round(flops_per_call / dt_min / 1e12, 1),
+        "canary_bf16_tflops_median": round(flops_per_call / dt_med / 1e12, 1),
+        "canary_mfu": round(flops_per_call / dt_min / V5E_BF16_PEAK_FLOPS, 3),
+        "canary_shape": f"{n}x{n}x{n} bf16 x8-chain",
+    }
 
 
 def _mfu_fields(analytic_flops, xla_flops, dt_min, lower_bound):
@@ -238,6 +292,10 @@ def main():
         extra = bench_train_step()
     except Exception as exc:  # keep the primary metric even if training OOMs
         extra = {"train_step_error": f"{type(exc).__name__}: {exc}"[:300]}
+    try:
+        extra.update(bench_canary())
+    except Exception as exc:
+        extra["canary_error"] = f"{type(exc).__name__}: {exc}"[:200]
     extra["rtf_median"] = round(rtf_median, 6)
     extra["rtf_repeats"] = REPEATS
 

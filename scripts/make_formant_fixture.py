@@ -19,7 +19,9 @@ and never reads this config's value.
 import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+_repo = os.path.join(os.path.dirname(__file__), "..")
+sys.path.insert(0, os.path.join(_repo, "tests"))
+sys.path.insert(0, _repo)  # fixtures.py imports stylish_tts_tpu (not pip-installed)
 
 import yaml  # noqa: E402
 

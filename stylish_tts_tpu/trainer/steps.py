@@ -64,7 +64,8 @@ class StepContext:
                  mixed_precision: bool = False,
                  parity_deterministic: bool = False,
                  parity_prior=None,
-                 sampled_mrd_only: bool = True):
+                 sampled_mrd_only: bool = True,
+                 forced_disc_index: Optional[int] = None):
         # parity_deterministic: neutralize per-step stochastic augmentation
         # (decoder F0/N smoothing, sine-source phase/noise) so the step's
         # trajectory can be compared 1:1 against the torch reference driven
@@ -81,6 +82,15 @@ class StepContext:
         self.parity_prior = parity_prior
         # See TrainingConfig.sampled_mrd_only (config.py) for semantics.
         self.sampled_mrd_only = sampled_mrd_only
+        # forced_disc_index: measurement-only. Bakes the sampled-MRD index
+        # to a Python constant so the acoustic step compiles WITHOUT the
+        # lax.switch — the resulting executable's XLA cost analysis then
+        # reports the FLOPs the step actually executes instead of the sum
+        # over all three branches (the root cause of round 3's impossible
+        # MFU 1.09; see bench.py). Never used in production training: the
+        # per-step random index is what matches the reference
+        # (train/stage.py:104-147).
+        self.forced_disc_index = forced_disc_index
         self.compute_dtype = jnp.bfloat16 if mixed_precision else jnp.float32
         # Discriminator precision: bf16 32-channel convs are ~30% slower on
         # the MXU than fp32 here, but halve their (4x-tile-padded) HBM
@@ -423,9 +433,17 @@ def _disc_phase_mrd(ctx, state, feats_t_fft, pred_fft_detached, audio_t,
 
             return branch
 
-        mrd_term, raw_mrd, grads = jax.lax.switch(
-            disc_index, [make_branch(i) for i in range(3)], None
-        )
+        if ctx.forced_disc_index is not None:
+            # statically resolved branch: identical math to the switch at
+            # disc_index == forced_disc_index, but cond-free in the HLO so
+            # cost analysis counts only executed work (bench.py MFU)
+            mrd_term, raw_mrd, grads = make_branch(
+                int(ctx.forced_disc_index)
+            )(None)
+        else:
+            mrd_term, raw_mrd, grads = jax.lax.switch(
+                disc_index, [make_branch(i) for i in range(3)], None
+            )
         grads = dict(grads)
         grads["disc"] = disc_grad
         d_loss = disc_term + mrd_term
@@ -478,7 +496,10 @@ def make_acoustic_step(ctx: StepContext):
             ctx, batch
         )
         audio_t = batch.audio_gt[:, : frames * ctx.mc.hop_length]
-        disc_index = jax.random.randint(r_idx, (), 0, 3)
+        if ctx.forced_disc_index is not None:
+            disc_index = jnp.int32(ctx.forced_disc_index)
+        else:
+            disc_index = jax.random.randint(r_idx, (), 0, 3)
         sqrt_b = math.sqrt(batch.text.shape[0])
         feats_t = jax.tree.map(
             jax.lax.stop_gradient, ctx.multi_spec(audio_t)

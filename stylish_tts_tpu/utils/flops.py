@@ -84,13 +84,28 @@ def _dot_general_flops(eqn) -> float:
 
 
 def _conv_flops(eqn) -> float:
+    """FLOPs for one conv_general_dilated, accounting for lhs_dilation.
+
+    An lhs-dilated (fractionally-strided / "transposed") conv only
+    multiplies kernel taps that land on real input samples — the other
+    taps hit inserted zeros. With lhs_dilation L, on average K/L of the
+    K kernel positions per spatial dim are real. Counting these dense
+    was the round-4 bug that inflated the analytic step count 4x: the
+    iSTFT overlap-add *gradient* is a conv with K=n_fft, L=hop
+    (e.g. K=2048, L=512 -> 512x overcount on the largest resolution).
+    """
     out = eqn.outvars[0].aval
     rhs = eqn.invars[1].aval
     dn = eqn.params["dimension_numbers"]
     rhs_spec = dn.rhs_spec  # (out_ch, in_ch/group, *spatial)
-    kernel_spatial = _prod(rhs.shape[d] for d in rhs_spec[2:])
+    lhs_dilation = eqn.params.get("lhs_dilation") or ()
+    taps = 1.0
+    for i, d in enumerate(rhs_spec[2:]):
+        k = rhs.shape[d]
+        dil = lhs_dilation[i] if i < len(lhs_dilation) else 1
+        taps *= max(1.0, k / max(1, dil))
     cin_per_group = rhs.shape[rhs_spec[1]]
-    return 2.0 * _prod(out.shape) * kernel_spatial * cin_per_group
+    return 2.0 * _prod(out.shape) * taps * cin_per_group
 
 
 def _closed(j) -> jcore.Jaxpr:

@@ -45,6 +45,26 @@ def test_grouped_conv_counts_per_group_features():
     assert c.conv == 2 * 2 * 4 * 10 * 3 * 1
 
 
+def test_lhs_dilated_conv_counts_real_taps_only():
+    """Transposed/fractionally-strided convs must not be counted dense.
+
+    The round-4 bug: the iSTFT overlap-add *gradient* is a conv with
+    K=n_fft and lhs_dilation=hop; counting all K taps overstated the
+    acoustic step 4x (one leaf alone: 9.9 TF counted vs ~19 GF real).
+    With lhs_dilation L only ~K/L kernel taps land on real samples.
+    """
+    def conv(x, k):
+        return lax.conv_general_dilated(
+            x, k, (1,), [(0, 0)], lhs_dilation=(4,)
+        )
+
+    # x: (1, 2, 8) -> dilated length 29; k: (3, 2, 8) -> out (1, 3, 22)
+    c = count_fn(conv, jnp.zeros((1, 2, 8)), jnp.zeros((3, 2, 8)))
+    # dense would be 2*|out|*K*cin = 2*(1*3*22)*8*2 = 2112;
+    # real taps = K/L = 8/4 = 2 -> 2*(1*3*22)*2*2 = 528
+    assert c.conv == 2 * (1 * 3 * 22) * (8 / 4) * 2
+
+
 def test_scan_multiplies_by_length():
     def body(carry, x):
         return carry @ x, None
