@@ -97,7 +97,10 @@ def _module_flops(models, params, mc):
             ),
         ),
     }
+    from stylish_tts_tpu.utils.flops import count_fn
+
     flops = {}
+    analytic = {}
     for name, (fn,) in calls.items():
         if name not in params:
             continue
@@ -109,7 +112,17 @@ def _module_flops(models, params, mc):
         except Exception as exc:  # keep the audit robust to sig drift
             flops[name] = float("nan")
             print(f"  [flops failed for {name}: {type(exc).__name__}: {exc}]")
-    return flops
+        try:
+            # independent cross-check: analytic matmul/conv count from the
+            # traced jaxpr (utils/flops.py) — the counter that caught the
+            # round-3 MFU>1 inflation. Forward-only module calls contain no
+            # lax.switch or remat, so XLA and analytic should agree within
+            # the elementwise share; a large gap flags a counting bug.
+            analytic[name] = count_fn(fn, params[name]).total
+        except Exception as exc:
+            analytic[name] = float("nan")
+            print(f"  [analytic failed for {name}: {type(exc).__name__}: {exc}]")
+    return flops, analytic
 
 
 def main():
@@ -142,7 +155,7 @@ def main():
         sharded_all += sharded
 
     real_params = init_all_params(models, mc, jax.random.PRNGKey(0))
-    flops = _module_flops(models, real_params, mc)
+    flops, analytic = _module_flops(models, real_params, mc)
     flops_total = sum(v for v in flops.values() if np.isfinite(v))
     # FLOP-weighted sharded fraction: each module's forward FLOPs scaled
     # by its sharded-param fraction (matmul/conv FLOPs follow the
@@ -156,15 +169,17 @@ def main():
 
     hdr = (
         f"{'model':28s} {'params':>12s} {'p-frac':>7s} "
-        f"{'fwd GFLOP':>10s} {'f-share':>8s}"
+        f"{'fwd GFLOP':>10s} {'f-share':>8s} {'analytic':>10s} {'xla/ana':>8s}"
     )
     print(hdr)
     for name, (total, sharded) in sorted(rows.items(), key=lambda r: -r[1][0]):
         f = flops.get(name, float("nan"))
         fs = f / flops_total if np.isfinite(f) and flops_total else float("nan")
+        a = analytic.get(name, float("nan"))
+        ratio = f / a if np.isfinite(f) and np.isfinite(a) and a else float("nan")
         print(
             f"{name:28s} {total:12,d} {sharded / max(total, 1):7.1%} "
-            f"{f / 1e9:10.2f} {fs:8.1%}"
+            f"{f / 1e9:10.2f} {fs:8.1%} {a / 1e9:10.2f} {ratio:8.2f}"
         )
     print("-" * len(hdr))
     print(
