@@ -77,6 +77,14 @@ class DatasetConfig(BaseModel):
     # slm-cache`); when the file exists the acoustic step trains the
     # slm loss against it instead of re-embedding GT audio every step
     slm_path: str = "slm.safetensors"
+    # Merge duration bins into groups of N 0.25 s steps (N=1: reference
+    # binning). Each occupied (bin, stage) pair is one compiled XLA
+    # program, so on a fresh compile cache a many-bin corpus pays
+    # minutes per bin (PERF.md round-4 compile-budget table); N=2/3
+    # cuts that ~2-3x for up to N*0.25 s extra zero padding per
+    # segment. MUST match across `pitch`/`align`/`slm-cache`/`train` —
+    # the caches bake the padded length; collation raises on mismatch.
+    time_bin_quantize: int = 1
 
 
 class ValidationConfig(BaseModel):

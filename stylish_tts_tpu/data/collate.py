@@ -54,8 +54,20 @@ def collate_batch(items: List[dict], hop_length: int, require_pitch=True):
         text_lengths[i] = n
         paths.append(it["path"])
         if it["pitch"] is not None:
-            p = it["pitch"][:frames]
-            pitch[i, : p.shape[0]] = p
+            p = it["pitch"]
+            if p.shape[0] != frames:
+                # The pitch cache bakes the padded length; center padding
+                # means ANY length mismatch misaligns every frame, so fail
+                # loudly instead of silently truncating/zero-filling.
+                raise ValueError(
+                    f"pitch cache length {p.shape[0]} != padded frame "
+                    f"count {frames} for {it['path']}: the pitch/alignment"
+                    "/slm caches were generated with a different "
+                    "dataset.time_bin_quantize (or padding scheme) than "
+                    "this run — regenerate `pitch` and `align` (and "
+                    "`slm-cache` if used) with the same config"
+                )
+            pitch[i] = p
         elif require_pitch:
             raise ValueError(f"Pitch not found for segment {it['path']}")
         if it["durations"] is not None:

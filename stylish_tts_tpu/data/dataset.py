@@ -37,11 +37,26 @@ def get_frame_count(time_bin: int) -> int:
     return time_bin * 20 + 60
 
 
-def get_time_bin(sample_count: int, coarse_hop_length: int) -> int:
+def get_time_bin(
+    sample_count: int, coarse_hop_length: int, quantize: int = 1
+) -> int:
+    """Duration bin in 0.25 s steps (reference dataloader.py:425).
+
+    quantize > 1 merges bins into groups of N steps by rounding the bin
+    index UP to the top of its group — segments pad to the group
+    boundary, so the number of distinct (bin, stage) compiled programs
+    drops ~N× at the cost of up to N×0.25 s extra zero padding per
+    segment. A TPU-only knob (`dataset.time_bin_quantize`): the
+    reference recompiles nothing so never needs it; here each occupied
+    bin is a fresh XLA program (PERF.md round-4 compile-budget table).
+    """
     frames = sample_count // coarse_hop_length
-    if frames >= 20:
-        return (frames - 20) // 20
-    return -1
+    if frames < 20:
+        return -1
+    b = (frames - 20) // 20
+    if quantize > 1:
+        b = (b // quantize) * quantize + (quantize - 1)
+    return b
 
 
 @dataclass
@@ -72,11 +87,15 @@ class FilePathDataset:
         alignment_path: Optional[str] = None,
         dur_to_class=None,
         slm_path: Optional[str] = None,
+        time_bin_quantize: int = 1,
     ):
         self.root_path = root_path
         self.sample_rate = sample_rate
         self.coarse_hop_length = coarse_hop_length
         self.text_cleaner = text_cleaner
+        # see get_time_bin: must match the value the pitch/alignment/slm
+        # caches were generated with (collate detects a mismatch)
+        self.time_bin_quantize = max(int(time_bin_quantize), 1)
 
         self.pitch: Dict[str, np.ndarray] = {}
         if pitch_path and osp.isfile(pitch_path):
@@ -138,7 +157,9 @@ class FilePathDataset:
             if info.samplerate != self.sample_rate:
                 frames = int(info.frames * self.sample_rate / info.samplerate)
             seg.resampled_frames = frames
-            bin_num = get_time_bin(frames, self.coarse_hop_length)
+            bin_num = get_time_bin(
+                frames, self.coarse_hop_length, self.time_bin_quantize
+            )
             n_ph = len(seg.phonemes)
             if bin_num == -1:
                 raise DatasetError(
@@ -173,7 +194,9 @@ class FilePathDataset:
             audio = read_wav(
                 osp.join(self.root_path, seg.wav_path), self.sample_rate
             )
-            time_bin = get_time_bin(audio.shape[0], self.coarse_hop_length)
+            time_bin = get_time_bin(
+                audio.shape[0], self.coarse_hop_length, self.time_bin_quantize
+            )
             if time_bin != -1:
                 frame_count = get_frame_count(time_bin)
                 total = frame_count * self.coarse_hop_length

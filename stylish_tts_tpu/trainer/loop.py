@@ -246,6 +246,7 @@ class Trainer:
                 self.data_path(self.config.dataset.slm_path)
                 if with_slm else None
             ),
+            time_bin_quantize=self.config.dataset.time_bin_quantize,
         )
 
     def init_normalization(self, dataset: FilePathDataset, out_dir: str):

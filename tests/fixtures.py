@@ -26,7 +26,7 @@ def make_micro_dataset(
     root: str, n_train: int = 6, n_val: int = 2, sample_rate: int = 24000,
     hop: int = 300, with_caches: bool = True, seed: int = 0,
     uniform_duration: bool = False, voice: str = "sine",
-    target_s_choices=None,
+    target_s_choices=None, time_bin_quantize: int = 1,
 ):
     """Create wav-dir + train/val lists (+ pitch & alignment caches).
 
@@ -87,7 +87,7 @@ def make_micro_dataset(
             write_wav(osp.join(wav_dir, name), audio, sample_rate)
             lines.append(f"{name}|{phonemes}|0|sample text {i}")
             if with_caches:
-                time_bin = get_time_bin(samples, hop)
+                time_bin = get_time_bin(samples, hop, time_bin_quantize)
                 frames = get_frame_count(time_bin)
                 n_tok = len(phonemes) + 2  # tokenizer adds 2 pads
                 if voice == "formant":

@@ -53,6 +53,73 @@ def test_time_bin_semantics():
     assert get_frame_count(2) == 100
 
 
+def test_time_bin_quantize():
+    """time_bin_quantize merges bins upward: the quantized bin's frame
+    count always covers the natural bin's frames (padding stays valid)
+    and N consecutive natural bins collapse onto one quantized bin."""
+    for nat, q2 in [(0, 1), (1, 1), (2, 3), (3, 3), (4, 5)]:
+        samples = 300 * (20 + 20 * nat)  # smallest audio in natural bin
+        assert get_time_bin(samples, 300) == nat
+        assert get_time_bin(samples, 300, quantize=2) == q2
+        assert get_frame_count(q2) >= get_frame_count(nat)
+    # quantize=3 groups {0,1,2}->2, {3,4,5}->5
+    assert get_time_bin(300 * 20, 300, quantize=3) == 2
+    assert get_time_bin(300 * 80, 300, quantize=3) == 5
+    # too-short audio stays rejected
+    assert get_time_bin(300 * 19, 300, quantize=4) == -1
+
+
+def test_dataset_quantized_bins_and_cache_mismatch(tmp_path):
+    """End to end through FilePathDataset + collate: a quantize=2
+    dataset (caches generated at the same quantize) occupies fewer bins
+    with consistent padded shapes; loading quantize=2 against
+    quantize=1 caches raises the actionable mismatch error instead of
+    silently misaligning center-padded frames."""
+    mc = ModelConfig()
+    tc = TextCleaner(mc.symbol)
+    dp = DurationProcessor()
+
+    def build(root, q):
+        with open(osp.join(root, "train-list.txt")) as f:
+            lines = f.readlines()
+        return FilePathDataset(
+            data_list=lines,
+            root_path=osp.join(root, "wav-dir"),
+            text_cleaner=tc,
+            sample_rate=mc.sample_rate,
+            coarse_hop_length=mc.hop_length,
+            pitch_path=osp.join(root, "pitch.safetensors"),
+            alignment_path=osp.join(root, "alignment.safetensors"),
+            dur_to_class=dp.dur_to_class,
+            time_bin_quantize=q,
+        )
+
+    q_root = make_micro_dataset(
+        str(tmp_path / "q2"), time_bin_quantize=2
+    )
+    ds_q = build(q_root, 2)
+    bins_q, _ = ds_q.time_bins()
+    assert all(b % 2 == 1 for b in bins_q)  # group tops only
+    nat_root = make_micro_dataset(str(tmp_path / "q1"))
+    nat_bins, _ = build(nat_root, 1).time_bins()
+    assert len(bins_q) <= len(nat_bins)
+    for b, idxs in bins_q.items():
+        items = [ds_q.load_segment(i) for i in idxs]
+        batch, _ = collate_batch(items, hop_length=mc.hop_length)
+        assert batch.audio_gt.shape[1] == get_frame_count(b) * mc.hop_length
+        assert batch.pitch.shape[1] == get_frame_count(b)
+
+    # mismatch: quantize=2 dataset over quantize=1 caches -> hard error
+    ds_bad = build(nat_root, 2)
+    bins_bad, _ = ds_bad.time_bins()
+    some_bin = next(iter(bins_bad))
+    items = [ds_bad.load_segment(i) for i in bins_bad[some_bin][:1]]
+    if items[0]["pitch"].shape[0] == get_frame_count(some_bin):
+        pytest.skip("fixture landed on a group-top bin; no mismatch")
+    with pytest.raises(ValueError, match="time_bin_quantize"):
+        collate_batch(items, hop_length=mc.hop_length)
+
+
 @pytest.fixture(scope="module")
 def dataset(dataset_root):
     mc = ModelConfig()
