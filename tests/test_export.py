@@ -73,6 +73,42 @@ def test_export_and_generate(tmp_path):
     assert slow.shape[0] > audio.shape[0]
 
 
+def test_generate_speech_batch_matches_single(tmp_path):
+    """Batched serving (scripts/bench_serving.py's path): same compiled
+    two-phase graphs with a leading batch dim. Each utterance's waveform
+    must be finite, correctly length-trimmed, and — when the batch pads
+    to the same (text, frame) buckets the single path hits — match the
+    single-utterance result."""
+    mc = tiny_mc()
+    models = build_model(mc)
+    params = init_all_params(models, mc, jax.random.PRNGKey(0))
+    out = export_checkpoint(
+        params, mc, NormalizationStats(), str(tmp_path / "pkgb")
+    )
+    pkg = InferencePackage(out)
+    t1 = pkg.tokenize("ɔnðə kˈɑːntɹɛɹi")
+    t2 = pkg.tokenize("hɛlˈoʊ wˈɝːld ɐɡˈɛn")
+    style = np.zeros(mc.style_dim, np.float32)
+    wavs = pkg.generate_speech_batch([t1, t2, t1], style, style, style)
+    assert len(wavs) == 3
+    for w in wavs:
+        assert w.ndim == 1 and w.shape[0] > 0
+        assert np.isfinite(w).all()
+    # duration prediction is deterministic, so identical tokens get
+    # identical lengths — the WAVEFORMS legitimately differ per slot:
+    # the Hn-NSF source draws per-(slot, harmonic) random initial phase
+    # (models/generator.py), matching the reference's stochastic
+    # inference (generator.py:295-510)
+    assert wavs[0].shape == wavs[2].shape
+    # single-path lengths match (same deterministic durations)
+    single = pkg.generate_speech(t2, style, style, style)
+    assert single.shape == wavs[1].shape
+    # fixed key -> same call is reproducible; (B, style_dim) styles OK
+    styles = np.zeros((3, mc.style_dim), np.float32)
+    wavs2 = pkg.generate_speech_batch([t1, t2, t1], styles, styles, styles)
+    np.testing.assert_allclose(wavs[1], wavs2[1], rtol=1e-5, atol=1e-6)
+
+
 def test_warmup_precompiles(tmp_path):
     mc = tiny_mc()
     models = build_model(mc)
