@@ -48,15 +48,29 @@ RUN="python -m stylish_tts_tpu.cli"   # ambient env: real TPU
 CFG="--config $WORK/config.yml --model-config $WORK/model.yml"
 FRESH_CACHE="$WORK/xla_cache"
 
+# The trainer auto-advances acoustic -> textual -> duration (reference
+# stage-chain semantics, train/loop.py). This measurement wants the
+# acoustic stage in isolation, so stop the run as soon as the stage
+# completes instead of letting it start compiling textual programs.
+run_until_acoustic_done() {  # $1 = out dir, $2 = log file
+  STYLISH_TPU_CACHE="$FRESH_CACHE" timeout 10800 \
+    $RUN train $CFG --stage acoustic --out "$1" > "$2" 2>&1 &
+  local pid=$!
+  while kill -0 "$pid" 2>/dev/null; do
+    if grep -q "stage acoustic done" "$2" 2>/dev/null; then
+      sleep 2; kill "$pid" 2>/dev/null; wait "$pid" 2>/dev/null; break
+    fi
+    sleep 10
+  done
+}
+
 # ---- run 1: cold cache -------------------------------------------------
 T0=$(date +%s)
-STYLISH_TPU_CACHE="$FRESH_CACHE" $RUN train $CFG --stage acoustic \
-  --out "$WORK/out_cold" 2>&1 | tee "$WORK/train_cold.log"
+run_until_acoustic_done "$WORK/out_cold" "$WORK/train_cold.log"
 T1=$(date +%s)
 
 # ---- run 2: warm cache, fresh workdir ---------------------------------
-STYLISH_TPU_CACHE="$FRESH_CACHE" $RUN train $CFG --stage acoustic \
-  --out "$WORK/out_warm" 2>&1 | tee "$WORK/train_warm.log"
+run_until_acoustic_done "$WORK/out_warm" "$WORK/train_warm.log"
 T2=$(date +%s)
 
 {
