@@ -17,6 +17,10 @@ import time
 
 import numpy as np
 
+from stylish_tts_tpu.utils.jax_cache import setup_persistent_cache
+
+setup_persistent_cache(warn_stderr=True)
+
 
 def main():
     ap = argparse.ArgumentParser()
