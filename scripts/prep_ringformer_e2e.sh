@@ -14,6 +14,9 @@ mkdir -p "$WORK"
 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
   python scripts/make_formant_fixture.py "$WORK"
 
+# NOTE: the fixture's config.yml training_plan (epochs etc.) is only
+# consumed by the pitch/train-align/align prep below; the ringformer
+# acoustic run's epochs come from the EPOCHS arg via e2e_ringformer_tpu.sh.
 RUN="python -m stylish_tts_tpu.cli"   # ambient env: real TPU
 CFG="--config $WORK/config.yml --model-config $WORK/model.yml"
 
