@@ -34,6 +34,7 @@ Measurement protocol (VERDICT r2 item 6 + r3 item 1):
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -292,6 +293,18 @@ def main():
         extra = bench_train_step()
     except Exception as exc:  # keep the primary metric even if training OOMs
         extra = {"train_step_error": f"{type(exc).__name__}: {exc}"[:300]}
+    # B=32 is the measured per-chip training-throughput optimum (PERF.md
+    # round 4 "Batch scaling past B=16"); record it alongside the B=16
+    # bisect-comparable number. Opt out with STYLISH_BENCH_B32=0 (one
+    # extra ~250 s compile on a cold persistent cache).
+    if os.environ.get("STYLISH_BENCH_B32", "1") != "0":
+        try:
+            b32 = bench_train_step(batch=32, count_flops=False)
+            for k in ("acoustic_step_ms_min", "acoustic_step_ms_median",
+                      "audio_sec_per_wall_sec"):
+                extra[f"b32_{k}"] = b32[k]
+        except Exception as exc:
+            extra["b32_error"] = f"{type(exc).__name__}: {exc}"[:200]
     try:
         extra.update(bench_canary())
     except Exception as exc:

@@ -44,6 +44,55 @@ HETERONYMS: Dict[str, Dict[str, str]] = {
     "permit": {"noun": "pˈɜːmɪt", "verb": "pɚmˈɪt"},
     "rebel": {"noun": "ɹˈɛbəl", "verb": "ɹɪbˈɛl"},
     "invalid": {"noun": "ˈɪnvəlɪd", "adj": "ɪnvˈælɪd"},
+    # initial-stress noun vs final-stress verb (the regular English
+    # stress-shift class; reference disambiguates these with the same
+    # ModernBERT+kNN path as the irregular ones above)
+    "subject": {"noun": "sˈʌbʤɪkt", "verb": "səbʤˈɛkt"},
+    "suspect": {"noun": "sˈʌspɛkt", "verb": "səspˈɛkt"},
+    "increase": {"noun": "ˈɪnkɹiːs", "verb": "ɪnkɹˈiːs"},
+    "decrease": {"noun": "dˈiːkɹiːs", "verb": "dɪkɹˈiːs"},
+    "insult": {"noun": "ˈɪnsʌlt", "verb": "ɪnsˈʌlt"},
+    "conflict": {"noun": "kˈɑːnflɪkt", "verb": "kənflˈɪkt"},
+    "contest": {"noun": "kˈɑːntɛst", "verb": "kəntˈɛst"},
+    "contrast": {"noun": "kˈɑːntɹæst", "verb": "kəntɹˈæst"},
+    "convert": {"noun": "kˈɑːnvɜːt", "verb": "kənvˈɜːt"},
+    "convict": {"noun": "kˈɑːnvɪkt", "verb": "kənvˈɪkt"},
+    "export": {"noun": "ˈɛkspɔːɹt", "verb": "ɛkspˈɔːɹt"},
+    "import": {"noun": "ˈɪmpɔːɹt", "verb": "ɪmpˈɔːɹt"},
+    "impact": {"noun": "ˈɪmpækt", "verb": "ɪmpˈækt"},
+    "progress": {"noun": "pɹˈɑːɡɹɛs", "verb": "pɹəɡɹˈɛs"},
+    "protest": {"noun": "pɹˈoʊtɛst", "verb": "pɹətˈɛst"},
+    "recall": {"noun": "ɹˈiːkɔːl", "verb": "ɹɪkˈɔːl"},
+    "refund": {"noun": "ɹˈiːfʌnd", "verb": "ɹɪfˈʌnd"},
+    "transfer": {"noun": "tɹˈænsfɜː", "verb": "tɹænsfˈɜː"},
+    "transport": {"noun": "tɹˈænspɔːɹt", "verb": "tɹænspˈɔːɹt"},
+    "upset": {"noun": "ˈʌpsɛt", "verb": "ʌpsˈɛt"},
+    "address": {"noun": "ˈædɹɛs", "verb": "ədɹˈɛs"},
+    "compound": {"noun": "kˈɑːmpaʊnd", "verb": "kəmpˈaʊnd"},
+    "console": {"noun": "kˈɑːnsoʊl", "verb": "kənsˈoʊl"},
+    "extract": {"noun": "ˈɛkstɹækt", "verb": "ɛkstɹˈækt"},
+    "escort": {"noun": "ˈɛskɔːɹt", "verb": "ɛskˈɔːɹt"},
+    "entrance": {"noun": "ˈɛntɹəns", "verb": "ɪntɹˈæns"},
+    "attribute": {"noun": "ˈætɹɪbjuːt", "verb": "ətɹˈɪbjuːt"},
+    # voiced/voiceless final-fricative pairs (use/abuse/excuse class)
+    "excuse": {"noun": "ɛkskjˈuːs", "verb": "ɛkskjˈuːz"},
+    "abuse": {"noun": "əbjˈuːs", "verb": "əbjˈuːz"},
+    "house": {"noun": "hˈaʊs", "verb": "hˈaʊz"},
+    # -ate reduction: adjective/noun schwa vs verb full diphthong
+    "separate": {"adj": "sˈɛpɹət", "verb": "sˈɛpɚɹˌeɪt"},
+    "estimate": {"noun": "ˈɛstɪmət", "verb": "ˈɛstɪmˌeɪt"},
+    "graduate": {"noun": "ɡɹˈæʤuət", "verb": "ɡɹˈæʤuˌeɪt"},
+    "duplicate": {"noun": "dˈuːplɪkət", "verb": "dˈuːplɪkˌeɪt"},
+    "alternate": {"adj": "ˈɔːltɚnət", "verb": "ˈɔːltɚnˌeɪt"},
+    "deliberate": {"adj": "dɪlˈɪbɚɹət", "verb": "dɪlˈɪbɚɹˌeɪt"},
+    "delegate": {"noun": "dˈɛlɪɡət", "verb": "dˈɛlɪɡˌeɪt"},
+    "advocate": {"noun": "ˈædvəkət", "verb": "ˈædvəkˌeɪt"},
+    "associate": {"noun": "əsˈoʊsiət", "verb": "əsˈoʊsiˌeɪt"},
+    "moderate": {"adj": "mˈɑːdɚɹət", "verb": "mˈɑːdɚɹˌeɪt"},
+    "appropriate": {"adj": "əpɹˈoʊpɹiət", "verb": "əpɹˈoʊpɹiˌeɪt"},
+    # tense/derivation splits
+    "learned": {"adj": "lˈɜːnɪd", "past": "lˈɜːnd"},
+    "resume": {"noun": "ɹˈɛzʊmeɪ", "verb": "ɹɪzˈuːm"},
 }
 
 # default sense when context gives no signal
@@ -55,6 +104,21 @@ _DEFAULT_SENSE = {
     "desert": "noun", "minute": "noun", "refuse": "verb", "wound": "noun",
     "use": "verb", "sow": "verb", "dove": "noun", "project": "noun",
     "contract": "noun", "permit": "verb", "rebel": "noun", "invalid": "adj",
+    "subject": "noun", "suspect": "noun", "increase": "noun",
+    "decrease": "noun", "insult": "noun", "conflict": "noun",
+    "contest": "noun", "contrast": "noun", "convert": "verb",
+    "convict": "noun", "export": "noun", "import": "noun",
+    "impact": "noun", "progress": "noun", "protest": "noun",
+    "recall": "verb", "refund": "noun", "transfer": "verb",
+    "transport": "verb", "upset": "verb", "address": "verb",
+    "compound": "noun", "console": "noun", "extract": "verb",
+    "escort": "noun", "entrance": "noun", "attribute": "noun",
+    "excuse": "verb", "abuse": "noun", "house": "noun",
+    "separate": "adj", "estimate": "noun", "graduate": "noun",
+    "duplicate": "noun", "alternate": "adj", "deliberate": "adj",
+    "delegate": "noun", "advocate": "noun", "associate": "noun",
+    "moderate": "adj", "appropriate": "adj", "learned": "past",
+    "resume": "verb",
 }
 
 _NOUN_CUES = {

@@ -7,8 +7,8 @@ rule-based letter-to-sound fallback. These tests measure — not just
 smoke-test — their quality against vendored golden fixtures, and print
 the numbers so README/PERF can cite them:
 
-  * heteronym sense accuracy on a 52-sentence fixture covering all 26
-    lexicon entries (2 contexts each, one per sense);
+  * heteronym sense accuracy on a fixture covering every lexicon entry
+    (2 contexts each, one per sense; coverage asserted);
   * g2p phoneme agreement (character-level similarity) of the fallback
     vs vendored espeak-ng en-us IPA for 40 common words;
   * hashed-n-gram embedding top-k neighbor purity on a topic-grouped
@@ -82,6 +82,96 @@ HETERONYM_FIXTURE = [
     ("rebel", "They will rebel against it", "ɹɪbˈɛl"),
     ("invalid", "The invalid rested in bed", "ˈɪnvəlɪd"),
     ("invalid", "An invalid argument", "ˈɪnvəlɪd"),  # adj-after-det is hard
+    # stress-shift noun/verb class
+    ("subject", "The subject was closed", "sˈʌbʤɪkt"),
+    ("subject", "They will subject him to tests", "səbʤˈɛkt"),
+    ("suspect", "The suspect was arrested", "sˈʌspɛkt"),
+    ("suspect", "I suspect the butler did it", "səspˈɛkt"),
+    ("increase", "The increase was sharp", "ˈɪnkɹiːs"),
+    ("increase", "We must increase the pace", "ɪnkɹˈiːs"),
+    ("decrease", "The decrease in sales continued", "dˈiːkɹiːs"),
+    ("decrease", "They will decrease the dose", "dɪkɹˈiːs"),
+    ("insult", "The insult stung deeply", "ˈɪnsʌlt"),
+    ("insult", "Do not insult the guests", "ɪnsˈʌlt"),
+    ("conflict", "The conflict lasted years", "kˈɑːnflɪkt"),
+    ("conflict", "The reports may conflict with ours", "kənflˈɪkt"),
+    ("contest", "The contest begins at noon", "kˈɑːntɛst"),
+    ("contest", "We will contest the ruling", "kəntˈɛst"),
+    ("contrast", "The contrast was striking", "kˈɑːntɹæst"),
+    ("contrast", "Please contrast the two plans", "kəntɹˈæst"),
+    ("convert", "The convert joined the faith", "kˈɑːnvɜːt"),
+    ("convert", "We will convert the file", "kənvˈɜːt"),
+    ("convict", "The convict escaped at dawn", "kˈɑːnvɪkt"),
+    ("convict", "The jury might convict him", "kənvˈɪkt"),
+    ("export", "The export of grain rose", "ˈɛkspɔːɹt"),
+    ("export", "They will export the cars", "ɛkspˈɔːɹt"),
+    ("import", "The import duty was high", "ˈɪmpɔːɹt"),
+    ("import", "We must import the parts", "ɪmpˈɔːɹt"),
+    ("impact", "The impact shattered the glass", "ˈɪmpækt"),
+    ("impact", "It could impact the schedule", "ɪmpˈækt"),
+    ("progress", "The progress was slow", "pɹˈɑːɡɹɛs"),
+    ("progress", "We should progress to the next stage", "pɹəɡɹˈɛs"),
+    ("protest", "The protest filled the square", "pɹˈoʊtɛst"),
+    ("protest", "They will protest the decision", "pɹətˈɛst"),
+    ("recall", "The recall affected many cars", "ɹˈiːkɔːl"),
+    ("recall", "I recall the day clearly", "ɹɪkˈɔːl"),
+    ("refund", "The refund arrived quickly", "ɹˈiːfʌnd"),
+    ("refund", "We will refund your money", "ɹɪfˈʌnd"),
+    ("transfer", "The transfer was approved", "tɹˈænsfɜː"),
+    ("transfer", "Please transfer the funds", "tɹænsfˈɜː"),
+    ("transport", "The transport of goods slowed", "tɹˈænspɔːɹt"),
+    ("transport", "We will transport the cargo", "tɹænspˈɔːɹt"),
+    ("upset", "The upset shocked the fans", "ˈʌpsɛt"),
+    ("upset", "It might upset the balance", "ʌpsˈɛt"),
+    ("address", "The address was hard to find", "ˈædɹɛs"),
+    ("address", "She will address the crowd", "ədɹˈɛs"),
+    ("compound", "The compound was sealed off", "kˈɑːmpaʊnd"),
+    ("compound", "The delays will compound the problem", "kəmpˈaʊnd"),
+    ("console", "The console displayed an error", "kˈɑːnsoʊl"),
+    ("console", "We tried to console the child", "kənsˈoʊl"),
+    ("extract", "The extract tasted bitter", "ˈɛkstɹækt"),
+    ("extract", "We will extract the data", "ɛkstɹˈækt"),
+    ("escort", "The escort arrived early", "ˈɛskɔːɹt"),
+    ("escort", "Guards will escort the prisoner", "ɛskˈɔːɹt"),
+    ("entrance", "The entrance was blocked", "ˈɛntɹəns"),
+    ("entrance", "The song will entrance the crowd", "ɪntɹˈæns"),
+    ("attribute", "The attribute was missing", "ˈætɹɪbjuːt"),
+    ("attribute", "They will attribute the quote to her", "ətɹˈɪbjuːt"),
+    # voiced/voiceless final fricative
+    ("excuse", "The excuse sounded weak", "ɛkskjˈuːs"),
+    ("excuse", "Please excuse the mess", "ɛkskjˈuːz"),
+    ("abuse", "The abuse of power grew", "əbjˈuːs"),
+    ("abuse", "Do not abuse the system", "əbjˈuːz"),
+    ("house", "The house was quiet", "hˈaʊs"),
+    ("house", "They will house the refugees", "hˈaʊz"),
+    # -ate reduction
+    ("separate", "They booked a separate room", "sˈɛpɹət"),
+    ("separate", "Please separate the whites", "sˈɛpɚɹˌeɪt"),
+    ("estimate", "The estimate was too low", "ˈɛstɪmət"),
+    ("estimate", "We must estimate the cost", "ˈɛstɪmˌeɪt"),
+    ("graduate", "The graduate found a job", "ɡɹˈæʤuət"),
+    ("graduate", "She will graduate in June", "ɡɹˈæʤuˌeɪt"),
+    ("duplicate", "The duplicate was destroyed", "dˈuːplɪkət"),
+    ("duplicate", "Do not duplicate the key", "dˈuːplɪkˌeɪt"),
+    ("alternate", "They met on alternate days", "ˈɔːltɚnət"),
+    ("alternate", "The drivers will alternate shifts", "ˈɔːltɚnˌeɪt"),
+    ("deliberate", "It was a deliberate act", "dɪlˈɪbɚɹət"),
+    ("deliberate", "The jury will deliberate tonight", "dɪlˈɪbɚɹˌeɪt"),
+    ("delegate", "The delegate cast her vote", "dˈɛlɪɡət"),
+    ("delegate", "You should delegate the work", "dˈɛlɪɡˌeɪt"),
+    ("advocate", "The advocate spoke for hours", "ˈædvəkət"),
+    ("advocate", "They will advocate for change", "ˈædvəkˌeɪt"),
+    ("associate", "His associate signed the deal", "əsˈoʊsiət"),
+    ("associate", "We associate summer with heat", "əsˈoʊsiˌeɪt"),
+    ("moderate", "A moderate breeze blew in", "mˈɑːdɚɹət"),
+    ("moderate", "She will moderate the debate", "mˈɑːdɚɹˌeɪt"),
+    ("appropriate", "An appropriate response arrived", "əpɹˈoʊpɹiət"),
+    ("appropriate", "They might appropriate the funds", "əpɹˈoʊpɹiˌeɪt"),
+    # tense/derivation splits
+    ("learned", "The learned professor spoke", "lˈɜːnɪd"),
+    ("learned", "She had learned the truth", "lˈɜːnd"),
+    ("resume", "Her resume listed three jobs", "ɹˈɛzʊmeɪ"),
+    ("resume", "We will resume at noon", "ɹɪzˈuːm"),
 ]
 
 # vendored espeak-ng en-us IPA (the backend the reference targets,
@@ -132,6 +222,13 @@ G2P_GOLDEN = {
 }
 
 STRESS_LEN = "ˈˌː"  # stress/length marks excluded from agreement scoring
+
+
+def test_heteronym_fixture_covers_lexicon():
+    from stylish_tts_tpu.textproc.homographs import HETERONYMS
+
+    covered = {w for w, _, _ in HETERONYM_FIXTURE}
+    assert covered == set(HETERONYMS), sorted(set(HETERONYMS) - covered)
 
 
 def test_heteronym_accuracy():
