@@ -261,21 +261,69 @@ def _strip(s: str) -> str:
 
 
 def test_g2p_fallback_agreement():
-    from stylish_tts_tpu.textproc.g2p import _phonemize_rules
+    from stylish_tts_tpu.textproc.g2p import _LEXICON, _phonemize_rules
 
     sims = []
+    hits = 0
     for word, golden in G2P_GOLDEN.items():
         got = _phonemize_rules(word)
+        hits += word in _LEXICON
         sim = difflib.SequenceMatcher(
             None, _strip(got), _strip(golden)
         ).ratio()
         sims.append(sim)
     mean, p10 = float(np.mean(sims)), float(np.percentile(sims, 10))
     print(f"\ng2p fallback vs vendored espeak IPA ({len(sims)} words): "
-          f"mean char-level similarity {mean:.2f}, p10 {p10:.2f}")
+          f"mean char-level similarity {mean:.2f}, p10 {p10:.2f} "
+          f"({hits}/{len(sims)} words served by the exception lexicon)")
     # documents the fallback's distance from espeak; the floor only
     # guards against regressions, not a quality claim
     assert mean >= 0.60, mean
+
+
+# vendored espeak-ng en-us sentence IPA (stress/length stripped in
+# scoring) — function-word-heavy running text, the register the
+# letter-to-sound rules fail hardest on and the exception lexicon is
+# for. Irregular spellings (said/once/enough/thought/because/through)
+# appear deliberately.
+G2P_SENTENCE_GOLDEN = [
+    ("she said the night was done",
+     "ʃiː sɛd ðə naɪt wʌz dʌn"),
+    ("they thought it was enough",
+     "ðeɪ θɔːt ɪt wʌz ɪnʌf"),
+    ("once there was a little house",
+     "wʌns ðɛɹ wʌz ɐ lɪɾəl haʊs"),
+    ("because of you we went through the door",
+     "bɪkʌz ʌv juː wiː wɛnt θɹuː ðə dɔːɹ"),
+    ("who would know what to do",
+     "huː wʊd noʊ wʌt tuː duː"),
+    ("the women laughed together again",
+     "ðə wɪmɪn læft təɡɛðɚ ɐɡɛn"),
+]
+
+
+def test_g2p_lexicon_improves_sentences():
+    """The common-word exception lexicon must measurably close the gap
+    to espeak on running text vs the bare letter-to-sound rules."""
+    from unittest import mock
+
+    from stylish_tts_tpu.textproc import g2p
+
+    def score():
+        sims = []
+        for sent, golden in G2P_SENTENCE_GOLDEN:
+            got = g2p._phonemize_rules(sent)
+            sims.append(difflib.SequenceMatcher(
+                None, _strip(got), _strip(golden)).ratio())
+        return float(np.mean(sims))
+
+    with_lex = score()
+    with mock.patch.dict(g2p._LEXICON, clear=True):
+        rules_only = score()
+    print(f"\ng2p sentence agreement vs vendored espeak: "
+          f"rules-only {rules_only:.2f} -> with lexicon {with_lex:.2f}")
+    assert with_lex >= 0.90, with_lex
+    assert with_lex > rules_only + 0.15, (with_lex, rules_only)
 
 
 def test_hashed_embedding_neighbor_purity():
