@@ -369,4 +369,4 @@ def test_hashed_embedding_neighbor_purity():
     mean_purity = float(np.mean(purity))
     print(f"\nhashed-n-gram top-{k} neighbor purity on topic fixture: "
           f"{mean_purity:.2f} (chance = {(4 - 1) / (len(sents) - 1):.2f})")
-    assert mean_purity >= 0.75, mean_purity
+    assert mean_purity >= 0.85, mean_purity
