@@ -83,6 +83,50 @@ def main():
         with open(out_path, "a") as f:
             f.write(line + "\n")
 
+    # ---- fused single-program path at B=1 (VERDICT r4 item 5) ----------
+    # One compiled program per request (duration -> in-graph clamp ->
+    # acoustic): removes the second tunnel round-trip the two-phase B=1
+    # path pays. Duration stats are derived from a two-phase probe so the
+    # fused bucket matches what real stats would pick.
+    from stylish_tts_tpu.export.package import frame_bucket
+
+    tokens1 = rng.integers(1, 170, n_tokens).astype(np.int32)
+    probe = pkg.generate_speech(tokens1, style, style, style, fused=False)
+    hop = mc.hop_length * mc.coarse_multiplier
+    f2 = frame_bucket(probe.shape[0] // hop)
+    pkg.duration_stats = {"frames_per_token_p95": (f2 - 50) / n_tokens}
+
+    t0 = time.time()
+    wav = pkg.generate_speech(tokens1, style, style, style, fused=True)
+    compile_wall = time.time() - t0
+    audio_sec = wav.shape[0] / mc.sample_rate
+
+    def run_fused():
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            pkg.generate_speech(tokens1, style, style, style, fused=True)
+        return (time.perf_counter() - t0) / ITERS
+
+    vals = sorted(run_fused() for _ in range(REPEATS))
+    dt_min, dt_med = vals[0], vals[len(vals) // 2]
+    res = {
+        "batch": 1,
+        "mode": "fused",
+        "tokens_per_utt": n_tokens,
+        "audio_sec_per_call": round(audio_sec, 2),
+        "wall_ms_min": round(dt_min * 1000, 1),
+        "wall_ms_median": round(dt_med * 1000, 1),
+        "rtf": round(dt_min / audio_sec, 6),
+        "audio_sec_per_wall_sec": round(audio_sec / dt_min, 1),
+        "first_call_wall_s": round(compile_wall, 1),
+        "repeats": REPEATS,
+        "iters": ITERS,
+    }
+    line = json.dumps(res)
+    print(line, flush=True)
+    with open(out_path, "a") as f:
+        f.write(line + "\n")
+
 
 if __name__ == "__main__":
     main()

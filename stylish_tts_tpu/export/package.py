@@ -221,6 +221,7 @@ class InferencePackage:
         self.duration_stats = duration_stats
         self._duration_fns = {}
         self._acoustic_fns = {}
+        self._fused_fns = {}
 
     # ---- phase 1: durations ---------------------------------------------
 
@@ -280,6 +281,81 @@ class InferencePackage:
             self._acoustic_fns[key] = jax.jit(fn)
         return self._acoustic_fns[key]
 
+    # ---- fused single-program path ---------------------------------------
+
+    def _fused_fn_and_args(self, L: int, F: int):
+        """ONE compiled program: durations -> in-graph clamp to the static
+        frame bucket -> alignment -> pitch/energy -> speech.
+
+        The two-phase path pays two device round-trips per request (the
+        host reads durations back to pick F); through a remote tunnel
+        that round-trip dominated B=1 serving (PERF.md r4: wall RTF
+        0.0232 > the 0.02 target). Here F is chosen host-side BEFORE the
+        call from the package's training-set duration stats, and the
+        predicted durations are proportionally squeezed inside the graph
+        on the (p95-rare) overflow — the single-graph analogue of the
+        reference's one ONNX graph with a dynamic frame dim
+        (reference train/convert_to_onnx.py:69-106)."""
+        dur = self.models["duration_predictor"]
+        sp = self.models["speech_predictor"]
+        pe = self.models["pitch_energy_predictor"]
+        dp = self.duration_processor
+        coarse = self.mc.coarse_multiplier
+
+        def fn(params, texts, lengths, dur_style, pe_style, speech_style,
+               inv_speed):
+            raw = dur.apply(params["duration_predictor"], texts, lengths,
+                            dur_style)
+            durations = dp.prediction_to_duration(raw, lengths) * inv_speed
+            total = jnp.sum(durations, axis=1, keepdims=True)
+            # proportional squeeze only when the prediction overflows the
+            # static bucket; identical durations otherwise
+            durations = durations * jnp.minimum(
+                1.0, (F - 1.0) / jnp.maximum(total, 1.0)
+            )
+            alignment = dp.duration_to_alignment(durations, F)
+            alignment_fine = dp.duration_to_alignment(
+                durations, F * coarse, multiplier=coarse
+            )
+            pitch, energy = pe.apply(
+                params["pitch_energy_predictor"], texts, lengths, alignment,
+                pe_style,
+            )
+            voiced = (pitch > 20.0).astype(jnp.float32)
+            pred = sp.apply(
+                params["speech_predictor"], texts, lengths, alignment_fine,
+                pitch, energy, voiced, speech_style, pitch,
+                rng=jax.random.PRNGKey(0),
+            )
+            totals = jnp.round(jnp.sum(durations, axis=1)).astype(jnp.int32)
+            return pred.audio, totals
+
+        args = (
+            self.params,
+            jnp.ones((1, L), jnp.int32),
+            jnp.ones((1,), jnp.int32),
+            jnp.zeros((1, self.mc.style_dim)),
+            jnp.zeros((1, self.mc.style_dim)),
+            jnp.asarray(1.0, jnp.float32),
+        )
+        return fn, args
+
+    def _fused_fn(self, L: int, F: int):
+        key = (L, F)
+        if key not in self._fused_fns:
+            fn, _ = self._fused_fn_and_args(L, F)
+            self._fused_fns[key] = jax.jit(fn)
+        return self._fused_fns[key]
+
+    def _fused_frame_bucket(self, n_tokens: int, speed: float) -> int | None:
+        """Frame bucket for the fused path, or None when the package has
+        no duration stats (fall back to two-phase)."""
+        stats = self.duration_stats or {}
+        p95 = stats.get("frames_per_token_p95")
+        if not p95:
+            return None
+        return frame_bucket(int(np.ceil(n_tokens * p95 / speed)))
+
     # ---- public API ------------------------------------------------------
 
     def warmup(self, text_buckets=None, max_frames_per_text=None) -> int:
@@ -310,6 +386,24 @@ class InferencePackage:
             self._acoustic_fns[(L, F)] = jax.jit(fn)
             self._acoustic_fns[(L, F)].lower(*args).compile()
             compiled += 1
+        # fused single-program grid: generate_speech prefers this path
+        # when stats exist, and it always picks F = bucket(n * p95 /
+        # speed), so per text bucket only the [bucket((prev+1)*p95),
+        # bucket(L*p95)] frame range is reachable at speed 1
+        p95 = (self.duration_stats or {}).get("frames_per_token_p95")
+        if p95:
+            prev = 0
+            for L in text_buckets:
+                lo = frame_bucket(int(np.ceil((prev + 1) * p95)))
+                hi = frame_bucket(int(np.ceil(L * p95)))
+                for F in range(lo, hi + 1, FRAME_BUCKET_STEP):
+                    if max_frames_per_text and F > max_frames_per_text:
+                        continue
+                    fn, fargs = self._fused_fn_and_args(L, F)
+                    self._fused_fns[(L, F)] = jax.jit(fn)
+                    self._fused_fns[(L, F)].lower(*fargs).compile()
+                    compiled += 1
+                prev = L
         return compiled
 
     def tokenize(self, text: str) -> np.ndarray:
@@ -317,14 +411,38 @@ class InferencePackage:
 
     def generate_speech(
         self, tokens: np.ndarray, speech_style, pe_style, duration_style,
-        speed: float = 1.0,
+        speed: float = 1.0, fused: bool | None = None,
     ) -> np.ndarray:
-        """tokens (n,) -> waveform float32 (samples,)."""
+        """tokens (n,) -> waveform float32 (samples,).
+
+        fused=None (default) uses the single-program path whenever the
+        package carries duration stats (one device round-trip instead of
+        two); True forces it (requires stats), False forces two-phase.
+        """
         n = tokens.shape[0]
         L = text_bucket(n)
         texts = np.zeros((1, L), np.int32)
         texts[0, :n] = tokens
         lengths = np.asarray([n], np.int32)
+
+        F_fused = self._fused_frame_bucket(n, speed)
+        if fused is None:
+            fused = F_fused is not None
+        if fused:
+            if F_fused is None:
+                raise ValueError(
+                    "fused path needs duration_stats in the package "
+                    "metadata (re-run convert with an alignment cache)"
+                )
+            audio, totals = self._fused_fn(L, F_fused)(
+                self.params, jnp.asarray(texts), jnp.asarray(lengths),
+                jnp.asarray(duration_style)[None],
+                jnp.asarray(pe_style)[None], jnp.asarray(speech_style)[None],
+                jnp.asarray(1.0 / speed, jnp.float32),
+            )
+            total = int(np.asarray(totals)[0])
+            samples = total * self.mc.hop_length * self.mc.coarse_multiplier
+            return np.asarray(audio)[0, :samples]
 
         durations = self._duration_fn(L)(
             self.params["duration_predictor"], jnp.asarray(texts),

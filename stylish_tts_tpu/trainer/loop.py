@@ -88,6 +88,20 @@ def classify_step_failure(msg: str) -> str:
         return "transient"
     return "fatal"
 
+def _metrics_to_host(window):
+    """Convert a window of device-scalar metric dicts to host floats.
+
+    The ONLY host-sync point for training metrics: the hot loop appends
+    raw device arrays and calls this once per log_interval, so step
+    dispatch runs ahead of the device instead of blocking on a
+    per-metric round-trip every step (round-4 wall split: 6,435 s of
+    per-step sync over 1,134 steps on the tunnel). One device_get for
+    the whole window batches the transfers.
+    """
+    host = jax.device_get(window)
+    return [{k: float(v) for k, v in m.items()} for m in host]
+
+
 STAGE_ORDER = ["alignment", "acoustic", "textual", "duration"]
 NEXT_STAGE = {"acoustic": "textual", "textual": "duration"}
 
@@ -461,12 +475,20 @@ class Trainer:
         )
         sharding = batch_sharding(self.mesh)
 
-        window: List[Dict[str, float]] = []
+        # metrics stay DEVICE arrays between log intervals: a float() on
+        # every step forces a full device (here: tunnel) round-trip per
+        # step and caps e2e throughput at the RTT, serializing dispatch
+        # behind the device. Round-4 multibin measured 6,435 s of such
+        # sync over 1,134 steps; converting once per log_interval lets
+        # dispatch run ahead (tests/test_trainer_resume.py pins that no
+        # off-interval host conversion happens).
+        window: List[Dict[str, object]] = []
         t_start = time.time()
         audio_seconds_trained = 0.0
         # wall breakdown: host blocked on the loader vs dispatching the
-        # step vs waiting on the device (the metrics float() sync) —
-        # tells an adopter whether they are loader- or device-bound
+        # step vs waiting on the device (the metrics sync at each
+        # log_interval) — tells an adopter whether they are loader- or
+        # device-bound
         t_loader = t_dispatch = t_sync = 0.0
         start_epoch = self.manifest.current_epoch
 
@@ -555,9 +577,7 @@ class Trainer:
                     continue
                 self.manifest.current_step = i + 1
                 self.manifest.current_total_step += 1
-                t0 = time.perf_counter()
-                window.append({k: float(v) for k, v in metrics.items()})
-                t_sync += time.perf_counter() - t0
+                window.append(metrics)  # device scalars; no host sync here
                 audio_seconds_trained += (
                     batch.audio_gt.shape[0] * batch.audio_gt.shape[1]
                     / self.mc.sample_rate
@@ -565,7 +585,9 @@ class Trainer:
 
                 total_step = self.manifest.current_total_step
                 if total_step % cfg.training.log_interval == 0:
-                    avg = combine_metrics(window)
+                    t0 = time.perf_counter()
+                    avg = combine_metrics(_metrics_to_host(window))
+                    t_sync += time.perf_counter() - t0
                     window.clear()
                     lr = avg.pop("lr", 0.0)
                     broadcast(
@@ -577,7 +599,10 @@ class Trainer:
                     )
                     self.writer.add_scalar("train/lr", lr, total_step)
                 if total_step % cfg.training.val_interval == 0:
-                    self.validate(stage, state, ctx, val_ds, val_bins, out_dir)
+                    self.validate(
+                        stage, state, ctx, val_ds, val_bins, out_dir,
+                        table=table,
+                    )
                 if total_step % cfg.training.save_interval == 0:
                     save_checkpoint(
                         out_dir, state, self.manifest, cfg, self.mc,
@@ -621,9 +646,19 @@ class Trainer:
 
     # ---- validation ------------------------------------------------------
 
-    def validate(self, stage, state, ctx, val_ds, val_bins, out_dir):
+    def validate(self, stage, state, ctx, val_ds, val_bins, out_dir,
+                 table=None):
         """Eval losses on the val split; emit audio for acoustic-path
-        stages (reference stage.py:149-422)."""
+        stages (reference stage.py:149-422).
+
+        ``table``: the stage's planned BatchSizeTable. Validation runs at
+        the same per-bin batch sizes as training (reference validates at
+        stage batch size, stage.py:149-230) instead of the old
+        B=n_devices pinning — on one device that meant B=1 per val batch,
+        i.e. maximal per-batch overhead on the path that runs every
+        val_interval. Ragged tails are re-chunked to B=n_devices so the
+        whole pass compiles at most two shapes per bin.
+        """
         metrics_acc: List[Dict[str, float]] = []
         sample_paths = select_validation_samples(
             [s.wav_path for s in val_ds.segments],
@@ -631,33 +666,46 @@ class Trainer:
             self.config.validation.force_samples,
         )
         emitted = 0
+        val_table = table if table is not None else BatchSizeTable(
+            probe_batch_max=self.n_devices
+        )
         for time_bin, idxs in DynamicBatchSampler(
-            val_bins, BatchSizeTable(probe_batch_max=self.n_devices),
-            shuffle=False, drop_last=False, force_batch_size=self.n_devices,
+            val_bins, val_table, shuffle=False, drop_last=False,
         ):
-            if len(idxs) % self.n_devices:
-                continue
-            items = [val_ds.load_segment(j) for j in idxs]
-            batch, paths = collate_batch(
-                items, hop_length=self.mc.hop_length,
-                require_pitch=(stage != "alignment"),
-            )
-            try:
-                m, audio = self._validate_batch(stage, state, ctx, batch)
-            except Exception as exc:  # parity: swallow per-batch errors
-                logger.warning("validation batch failed: %s", exc)
-                continue
-            metrics_acc.append({k: float(v) for k, v in m.items()})
-            if audio is not None and emitted < len(sample_paths):
-                for bi, p in enumerate(paths):
-                    if p in sample_paths:
-                        step_no = self.manifest.current_total_step
-                        self.writer.add_audio(
-                            f"eval/{p}", np.asarray(audio[bi]), step_no,
-                            self.mc.sample_rate,
-                        )
-                        self._emit_mel_figures(p, batch, audio, bi, step_no)
-                        emitted += 1
+            planned = val_table.get(time_bin)
+            if len(idxs) == planned and planned % self.n_devices == 0:
+                chunks = [idxs]
+            else:
+                chunks = [
+                    idxs[i:i + self.n_devices]
+                    for i in range(0, len(idxs), self.n_devices)
+                ]
+            for chunk in chunks:
+                if len(chunk) % self.n_devices:
+                    continue
+                items = [val_ds.load_segment(j) for j in chunk]
+                batch, paths = collate_batch(
+                    items, hop_length=self.mc.hop_length,
+                    require_pitch=(stage != "alignment"),
+                )
+                try:
+                    m, audio = self._validate_batch(stage, state, ctx, batch)
+                except Exception as exc:  # parity: swallow per-batch errors
+                    logger.warning("validation batch failed: %s", exc)
+                    continue
+                metrics_acc.append({k: float(v) for k, v in m.items()})
+                if audio is not None and emitted < len(sample_paths):
+                    for bi, p in enumerate(paths):
+                        if p in sample_paths:
+                            step_no = self.manifest.current_total_step
+                            self.writer.add_audio(
+                                f"eval/{p}", np.asarray(audio[bi]), step_no,
+                                self.mc.sample_rate,
+                            )
+                            self._emit_mel_figures(
+                                p, batch, audio, bi, step_no
+                            )
+                            emitted += 1
         if metrics_acc:
             avg = combine_metrics(metrics_acc)
             total = broadcast(

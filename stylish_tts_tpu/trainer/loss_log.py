@@ -71,8 +71,11 @@ def combine_metrics(window: List[Dict[str, float]]) -> Dict[str, float]:
 
 
 def weighted_total(metrics: Dict[str, float], weights: Dict[str, float]) -> float:
+    # "lr" and the "*_lr_mult" gap-aware-LR diagnostics are observability
+    # channels, not loss terms — they must not leak into the total
     return sum(
-        weights.get(k, 1.0) * v for k, v in metrics.items() if k != "lr"
+        weights.get(k, 1.0) * v for k, v in metrics.items()
+        if k != "lr" and not k.endswith("_lr_mult")
     )
 
 

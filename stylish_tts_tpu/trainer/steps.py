@@ -471,20 +471,27 @@ def _disc_phase_mrd(ctx, state, feats_t_fft, pred_fft_detached, audio_t,
     opt_state = dict(state.opt_state)
     disc_ema = dict(state.disc_ema)
     disc_ema.update(ema_new)
+    # gap-aware LR multipliers actually applied this step (from the
+    # PRE-update EMAs) are surfaced as metrics: the long-horizon run's
+    # occupancy analysis compares their distribution against the
+    # 50k-step simulation envelope (scripts/simulate_ema_cadence.py)
+    lr_mults = {}
     for i in range(3):
         name = f"mrd{i}"
         mult = L.disc_lr_multiplier(state.disc_ema[name], DISC_SUB_COUNT[name])
+        lr_mults[f"{name}_lr_mult"] = mult
         params, opt_state = _masked_update(
             ctx, state, params, opt_state, grads[name], name, lr * mult,
             apply_mask=(disc_index == i),
         )
     mult = L.disc_lr_multiplier(state.disc_ema["disc"], DISC_SUB_COUNT["disc"])
+    lr_mults["disc_lr_mult"] = mult
     g = ctx.pmean(grads["disc"])
     params["disc"], opt_state["disc"] = apply_module_update(
         state.params["disc"], state.opt_state["disc"], g, lr * mult
     )
     disc_ema["disc"] = update_disc_ema(state.disc_ema["disc"], raws["disc"])
-    return params, opt_state, disc_ema, d_loss / sqrt_b
+    return params, opt_state, disc_ema, d_loss / sqrt_b, lr_mults
 
 
 def make_acoustic_step(ctx: StepContext):
@@ -588,7 +595,7 @@ def make_acoustic_step(ctx: StepContext):
         mid_state = state.replace(params=params, opt_state=opt_state)
         pred_audio_d = jax.lax.stop_gradient(pred_audio)
         pred_fft_d = [jax.lax.stop_gradient(f) for f in pred_fft]
-        params, opt_state, disc_ema, d_loss = _disc_phase_mrd(
+        params, opt_state, disc_ema, d_loss, lr_mults = _disc_phase_mrd(
             ctx, mid_state, feats_t.fft_mag, pred_fft_d, audio_t,
             pred_audio_d, disc_index, lr, sqrt_b,
         )
@@ -600,6 +607,7 @@ def make_acoustic_step(ctx: StepContext):
         metrics = dict(metrics)
         metrics["discriminator"] = d_loss
         metrics["lr"] = lr
+        metrics.update(lr_mults)
         return new_state, metrics
 
     return step

@@ -73,6 +73,44 @@ def test_export_and_generate(tmp_path):
     assert slow.shape[0] > audio.shape[0]
 
 
+def test_generate_speech_fused_matches_two_phase():
+    """The fused single-program path (duration -> in-graph bucket clamp ->
+    acoustic, one device round-trip) must produce the same waveform as
+    the two-phase path when the predicted durations fit the bucket, and
+    must squeeze gracefully (finite, shorter) when they don't."""
+    mc = tiny_mc()
+    models = build_model(mc)
+    params = init_all_params(models, mc, jax.random.PRNGKey(0))
+    pkg = InferencePackage.from_parts(params, mc, NormalizationStats())
+    tokens = pkg.tokenize("ɔnðə kˈɑːntɹɛɹi")
+    style = np.zeros(mc.style_dim, np.float32)
+
+    # no duration stats -> default silently falls back to two-phase,
+    # forcing fused raises
+    assert pkg._fused_frame_bucket(len(tokens), 1.0) is None
+    two = pkg.generate_speech(tokens, style, style, style, fused=False)
+    default_no_stats = pkg.generate_speech(tokens, style, style, style)
+    np.testing.assert_array_equal(two, default_no_stats)
+    with pytest.raises(ValueError):
+        pkg.generate_speech(tokens, style, style, style, fused=True)
+
+    # stats that land the fused bucket exactly on the two-phase bucket
+    hop = mc.hop_length * mc.coarse_multiplier
+    F2 = frame_bucket(two.shape[0] // hop)
+    pkg.duration_stats = {"frames_per_token_p95": (F2 - 50) / len(tokens)}
+    fused = pkg.generate_speech(tokens, style, style, style)  # default=fused
+    assert fused.shape == two.shape
+    np.testing.assert_allclose(fused, two, rtol=2e-4, atol=2e-4)
+
+    # overflow: a bucket far smaller than the prediction -> proportional
+    # in-graph squeeze, still finite and inside the bucket
+    pkg.duration_stats = {"frames_per_token_p95": 1.0 / len(tokens)}
+    squeezed = pkg.generate_speech(tokens, style, style, style, fused=True)
+    assert squeezed.shape[0] <= 100 * hop
+    assert squeezed.shape[0] > 0
+    assert np.isfinite(squeezed).all()
+
+
 def test_generate_speech_batch_matches_single(tmp_path):
     """Batched serving (scripts/bench_serving.py's path): same compiled
     two-phase graphs with a leading batch dim. Each utterance's waveform
