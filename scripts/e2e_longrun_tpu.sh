@@ -36,7 +36,7 @@ env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python - "$WORK" "$EPOCHS" <<'EOF'
 import sys, os, yaml
 work, epochs = sys.argv[1], int(sys.argv[2])
 cfg = {
-  "training": {"log_interval": 50, "save_interval": 1000,
+  "training": {"log_interval": 10, "save_interval": 1000,
                "val_interval": 2000, "device": "tpu",
                "mixed_precision": "bf16", "data_workers": 2},
   "training_plan": {

@@ -21,7 +21,6 @@ the reference's export-safe STFT).
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
@@ -44,34 +43,71 @@ def hann_window(win_length: int, dtype=np.float32) -> np.ndarray:
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(dtype)
 
 
-@functools.lru_cache(maxsize=32)
-def _forward_basis(n_fft: int, win_length: int) -> np.ndarray:
-    """(2*freq_bins, 1, n_fft) windowed DFT conv kernel: rows = [real; imag]."""
-    freq_bins = n_fft // 2 + 1
-    window = hann_window(win_length)
+# The DFT bases are COMPUTED ON DEVICE inside the traced computation
+# instead of being embedded as dense numpy constants.  Round-5 finding:
+# inlining them baked ~130 MB of constants into the acoustic train
+# step's StableHLO (the 2048-point basis alone is 16.8 MB, duplicated
+# across forward/backward/layout copies), blowing the executable to
+# 320 MB and the honest step time to ~3 s/execution.  An
+# optimization_barrier on the iota stops XLA from constant-folding the
+# basis back into the binary; regenerating it each execution is a few
+# million VPU transcendentals — microseconds against the matmuls it
+# feeds.
+#
+# Numerics: angles are reduced modulo n_fft BEFORE the trig in exact
+# integer-valued f32 arithmetic (k*n <= ~8.4e6 < 2^24 is exact), so
+# jnp.cos sees arguments in [0, 2*pi) and matches the old float64 numpy
+# basis to ~1e-7 — f32 cos of the UNreduced angle (up to ~6400 rad)
+# would have lost ~5e-4 of phase and broken golden parity.
+
+
+def _phase_fraction(rows: jnp.ndarray, cols: jnp.ndarray, n_fft: int):
+    """(rows x cols) matrix of (r*c mod n_fft)/n_fft, exactly reduced."""
+    prod = rows[:, None] * cols[None, :]
+    return jnp.mod(prod, float(n_fft)) * (1.0 / n_fft)
+
+
+def _hann_jnp(win_length: int, n_fft: int) -> jnp.ndarray:
+    n = jnp.arange(win_length, dtype=jnp.float32)
+    w = 0.5 - 0.5 * jnp.cos((2.0 * jnp.pi / win_length) * n)
     if win_length < n_fft:
-        window = np.pad(window, (0, n_fft - win_length))
+        w = jnp.pad(w, (0, n_fft - win_length))
     else:
-        window = window[:n_fft]
-    n = np.arange(n_fft)
-    k = np.arange(freq_bins)
-    angle = 2.0 * np.pi * np.outer(k, n) / n_fft
-    cos, sin = np.cos(angle), np.sin(angle)
+        w = w[:n_fft]
+    return w
+
+
+def _forward_basis(n_fft: int, win_length: int) -> jnp.ndarray:
+    """(2*freq_bins, 1, n_fft) windowed DFT conv kernel: rows = [real; imag].
+
+    Traced (device-computed); see the module comment above for why this
+    must not be a numpy constant."""
+    freq_bins = n_fft // 2 + 1
+    n = jax.lax.optimization_barrier(
+        jnp.arange(n_fft, dtype=jnp.float32)
+    )
+    k = jnp.arange(freq_bins, dtype=jnp.float32)
+    angle = (2.0 * jnp.pi) * _phase_fraction(k, n, n_fft)
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
     # exactify the DC and (even n_fft) Nyquist rows: mathematically
-    # sin == 0 and cos == (-1)^n there, but fp sin(pi*n) leaves ~1e-15
-    # residue whose RANDOM SIGN flips atan2 phases between +pi and -pi
+    # sin == 0 and cos == (-1)^n there, but fp sin leaves tiny residue
+    # whose RANDOM SIGN flips atan2 phases between +pi and -pi
     # vs torch's exact +0 imaginary part (the ringformer har_phase path)
-    cos[0], sin[0] = 1.0, 0.0
-    if n_fft % 2 == 0 and freq_bins == n_fft // 2 + 1:
-        cos[-1], sin[-1] = np.where(n % 2 == 0, 1.0, -1.0), 0.0
-    real = (cos * window).astype(np.float32)
-    imag = (-sin * window).astype(np.float32)
-    return np.concatenate([real, imag], axis=0)[:, None, :]
+    cos = cos.at[0].set(1.0)
+    sin = sin.at[0].set(0.0)
+    if n_fft % 2 == 0:
+        parity = jnp.where(jnp.arange(n_fft) % 2 == 0, 1.0, -1.0)
+        cos = cos.at[-1].set(parity)
+        sin = sin.at[-1].set(0.0)
+    window = _hann_jnp(win_length, n_fft)
+    real = cos * window
+    imag = -sin * window
+    return jnp.concatenate([real, imag], axis=0)[:, None, :]
 
 
-@functools.lru_cache(maxsize=32)
-def _inverse_basis(n_fft: int, win_length: int, uniform: bool = False) -> np.ndarray:
-    """(2*freq_bins, 1, n_fft) windowed IDFT conv_transpose kernel.
+def _inverse_basis(n_fft: int, win_length: int, uniform: bool = False):
+    """(2*freq_bins, 1, n_fft) windowed IDFT conv_transpose kernel
+    (traced, device-computed — see module comment).
 
     ``uniform=False``: proper real-iFFT scaling (symmetric bins doubled,
     DC/Nyquist once) — pairs with window-envelope normalization for exact
@@ -81,38 +117,29 @@ def _inverse_basis(n_fft: int, win_length: int, uniform: bool = False) -> np.nda
     torch generator weights.
     """
     freq_bins = n_fft // 2 + 1
-    window = hann_window(win_length)
-    if win_length < n_fft:
-        window = np.pad(window, (0, n_fft - win_length))
-    else:
-        window = window[:n_fft]
-    n = np.arange(n_fft)
-    k = np.arange(freq_bins)
-    angle = 2.0 * np.pi * np.outer(n, k) / n_fft  # (n_fft, freq)
+    n = jax.lax.optimization_barrier(
+        jnp.arange(n_fft, dtype=jnp.float32)
+    )
+    k = jnp.arange(freq_bins, dtype=jnp.float32)
+    angle = (2.0 * jnp.pi) * _phase_fraction(k, n, n_fft)  # (freq, n_fft)
     if uniform:
-        scale = np.full(freq_bins, 1.0 / n_fft)
+        scale = jnp.full((freq_bins, 1), 1.0 / n_fft)
     else:
         # Doubling for the symmetric (negative-frequency) bins of the real
         # FFT; DC and Nyquist appear once.
-        scale = np.full(freq_bins, 2.0 / n_fft)
-        scale[0] = 1.0 / n_fft
+        scale = jnp.full((freq_bins, 1), 2.0 / n_fft)
+        scale = scale.at[0].set(1.0 / n_fft)
         if n_fft % 2 == 0:
-            scale[-1] = 1.0 / n_fft
-    idft_cos = (np.cos(angle) * scale).T  # (freq, n_fft)
-    idft_sin = (np.sin(angle) * scale).T
-    real_k = (idft_cos * window).astype(np.float32)
-    imag_k = (-idft_sin * window).astype(np.float32)
-    return np.concatenate([real_k, imag_k], axis=0)[:, None, :]
+            scale = scale.at[-1].set(1.0 / n_fft)
+    window = _hann_jnp(win_length, n_fft)
+    real_k = jnp.cos(angle) * scale * window
+    imag_k = -jnp.sin(angle) * scale * window
+    return jnp.concatenate([real_k, imag_k], axis=0)[:, None, :]
 
 
-@functools.lru_cache(maxsize=32)
-def _window_sumsquare_kernel(n_fft: int, win_length: int) -> np.ndarray:
-    window = hann_window(win_length)
-    if win_length < n_fft:
-        window = np.pad(window, (0, n_fft - win_length))
-    else:
-        window = window[:n_fft]
-    return (window * window).astype(np.float32)[None, None, :]
+def _window_sumsquare_kernel(n_fft: int, win_length: int) -> jnp.ndarray:
+    window = _hann_jnp(win_length, n_fft)
+    return (window * window)[None, None, :]
 
 
 def _overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
@@ -167,7 +194,7 @@ def stft(
     if center:
         audio = _pad_center(audio, n_fft, pad_mode)
     x = audio[:, None, :]  # (B, 1, T)
-    kernel = jnp.asarray(_forward_basis(n_fft, win_length))
+    kernel = _forward_basis(n_fft, win_length)
     out = jax.lax.conv_general_dilated(
         x,
         kernel,
@@ -221,8 +248,8 @@ def istft(
     real = real.astype(jnp.float32)
     imag = imag.astype(jnp.float32)
     spec = jnp.concatenate([real, imag], axis=1)  # (B, 2*freq, frames)
-    kernel = jnp.asarray(
-        _inverse_basis(n_fft, win_length, uniform=uniform_scale)
+    kernel = _inverse_basis(
+        n_fft, win_length, uniform=uniform_scale
     )[:, 0, :]  # (2F, n_fft)
 
     # Frame synthesis as one fp32 MXU matmul, then overlap-add.  The
@@ -240,7 +267,7 @@ def istft(
 
     if normalize_window:
         n_frames = real.shape[-1]
-        wss = jnp.asarray(_window_sumsquare_kernel(n_fft, win_length))[0, 0]
+        wss = _window_sumsquare_kernel(n_fft, win_length)[0, 0]
         env_frames = jnp.broadcast_to(wss[None, None, :], (1, n_frames, n_fft))
         envelope = _overlap_add(env_frames, hop_length)
         wav = wav / jnp.maximum(envelope, 1e-11)

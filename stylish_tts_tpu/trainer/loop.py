@@ -98,6 +98,16 @@ def _metrics_to_host(window):
     per-step sync over 1,134 steps on the tunnel). One device_get for
     the whole window batches the transfers.
     """
+    keys = sorted(window[0].keys())
+    if all(sorted(m.keys()) == keys for m in window):
+        # pack the whole window into ONE device array first: a pytree
+        # device_get pulls each scalar buffer separately, which through
+        # a remote-TPU tunnel is one round-trip PER METRIC PER STEP
+        # (~750 ms each on a slow session) — the packed fetch is a
+        # single transfer regardless of window size
+        packed = jnp.stack([jnp.stack([m[k] for k in keys]) for m in window])
+        vals = np.asarray(jax.device_get(packed.astype(jnp.float32)))
+        return [dict(zip(keys, map(float, row))) for row in vals]
     host = jax.device_get(window)
     return [{k: float(v) for k, v in m.items()} for m in host]
 
@@ -578,6 +588,35 @@ class Trainer:
                 self.manifest.current_step = i + 1
                 self.manifest.current_total_step += 1
                 window.append(metrics)  # device scalars; no host sync here
+                if os.environ.get("STYLISH_DEBUG_NANSTEP") == "1":
+                    # divergence hunt: sync EVERY step (debug-only — this
+                    # reintroduces the per-step round-trip on purpose),
+                    # dump the offending batch + its provenance on the
+                    # first nonfinite metric, then abort
+                    mh = _metrics_to_host([metrics])[0]
+                    bad = [k for k, v in mh.items() if not np.isfinite(v)]
+                    if bad:
+                        dump = osp.join(out_dir, f"nan_batch_step{i + 1}.npz")
+                        np.savez(
+                            dump,
+                            paths=np.asarray(_paths),
+                            time_bin=time_bin,
+                            **{
+                                f: np.asarray(getattr(batch, f))
+                                for f in batch._fields
+                                if getattr(batch, f) is not None
+                            },
+                        )
+                        logger.error(
+                            "nonfinite metrics %s at step %d (bin %d, "
+                            "paths %s); batch dumped to %s",
+                            bad, i + 1, time_bin, _paths, dump,
+                        )
+                        raise RuntimeError(f"debug: nonfinite {bad}")
+                    logger.info(
+                        "debug step %d bin %d ok: %s", i + 1, time_bin,
+                        {k: round(v, 3) for k, v in mh.items()},
+                    )
                 audio_seconds_trained += (
                     batch.audio_gt.shape[0] * batch.audio_gt.shape[1]
                     / self.mc.sample_rate
@@ -659,7 +698,7 @@ class Trainer:
         val_interval. Ragged tails are re-chunked to B=n_devices so the
         whole pass compiles at most two shapes per bin.
         """
-        metrics_acc: List[Dict[str, float]] = []
+        metrics_acc: List[Dict[str, object]] = []  # device scalar dicts
         sample_paths = select_validation_samples(
             [s.wav_path for s in val_ds.segments],
             self.config.validation.sample_count,
@@ -693,7 +732,7 @@ class Trainer:
                 except Exception as exc:  # parity: swallow per-batch errors
                     logger.warning("validation batch failed: %s", exc)
                     continue
-                metrics_acc.append({k: float(v) for k, v in m.items()})
+                metrics_acc.append(m)  # device scalars; one packed fetch below
                 if audio is not None and emitted < len(sample_paths):
                     for bi, p in enumerate(paths):
                         if p in sample_paths:
@@ -707,7 +746,7 @@ class Trainer:
                             )
                             emitted += 1
         if metrics_acc:
-            avg = combine_metrics(metrics_acc)
+            avg = combine_metrics(_metrics_to_host(metrics_acc))
             total = broadcast(
                 avg, ctx.weights, self.writer,
                 self.manifest.current_total_step, prefix="eval",

@@ -248,8 +248,14 @@ def test_generate_miss_path_compiles_on_demand(tmp_path):
     assert pkg.duration_stats["frames_per_token_p95"] == 3.0
     tokens = pkg.tokenize("ɔnðə kˈɑːntɹɛɹi")
     style = np.zeros(mc.style_dim, np.float32)
-    # nothing warmed: every bucket pair is a miss and must still work
-    assert not pkg._acoustic_fns
+    # nothing warmed: every bucket pair is a miss and must still work.
+    # With stats present the default route is the fused single program —
+    # it lazily compiles into _fused_fns; the two-phase miss path stays
+    # functional via fused=False.
+    assert not pkg._acoustic_fns and not pkg._fused_fns
     audio = pkg.generate_speech(tokens, style, style, style)
     assert audio.size > 0 and np.isfinite(audio).all()
-    assert len(pkg._acoustic_fns) == 1  # compiled on demand and cached
+    assert len(pkg._fused_fns) == 1  # compiled on demand and cached
+    audio2 = pkg.generate_speech(tokens, style, style, style, fused=False)
+    assert audio2.size > 0 and np.isfinite(audio2).all()
+    assert len(pkg._acoustic_fns) == 1
