@@ -21,6 +21,7 @@ the reference's export-safe STFT).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -177,6 +178,52 @@ def _pad_center(audio: jnp.ndarray, n_fft: int, pad_mode: str) -> jnp.ndarray:
     return jnp.pad(audio, ((0, 0), (pad, pad)), mode=pad_mode)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _framed_dft(xpad: jnp.ndarray, n_fft: int, hop_length: int,
+                win_length: int) -> jnp.ndarray:
+    """Windowed DFT of padded audio (B, Tpad) -> (B, 2*freq_bins, frames).
+
+    Forward: one strided conv with the DFT basis as kernel (MXU).
+    Backward: CUSTOM — jax's automatic transpose of this conv is a
+    1-output-channel lhs-dilated convolution that cannot tile onto the
+    MXU; the round-5 device trace measured it at 1.1-1.3 s PER
+    RESOLUTION per step (~80% of the whole acoustic G+D step, 0.0076
+    MFU). The hand VJP computes the same gradient as a dense
+    (2F x n_fft) einsum (MXU) followed by overlap-add (VPU shift-adds):
+    d loss/d x[s] = sum_{t,n: t*hop+n == s} (g @ basis)[t, n].
+    """
+    kernel = _forward_basis(n_fft, win_length)
+    return jax.lax.conv_general_dilated(
+        xpad[:, None, :],
+        kernel,
+        window_strides=(hop_length,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _framed_dft_fwd(xpad, n_fft, hop_length, win_length):
+    return _framed_dft(xpad, n_fft, hop_length, win_length), xpad.shape[1]
+
+
+def _framed_dft_bwd(n_fft, hop_length, win_length, tpad, g):
+    basis = _forward_basis(n_fft, win_length)[:, 0, :]  # (2F, n_fft)
+    g_frames = jnp.einsum(
+        "bft,fn->btn", g, basis,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    gx = _overlap_add(g_frames, hop_length)  # (B, (T'-1)*hop + n_fft)
+    # samples past the last full window received no gradient
+    gx = jnp.pad(gx, ((0, 0), (0, tpad - gx.shape[1])))
+    return (gx,)
+
+
+_framed_dft.defvjp(_framed_dft_fwd, _framed_dft_bwd)
+
+
 def stft(
     audio: jnp.ndarray,
     n_fft: int,
@@ -193,17 +240,7 @@ def stft(
     audio = audio.astype(jnp.float32)
     if center:
         audio = _pad_center(audio, n_fft, pad_mode)
-    x = audio[:, None, :]  # (B, 1, T)
-    kernel = _forward_basis(n_fft, win_length)
-    out = jax.lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(hop_length,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    out = _framed_dft(audio, n_fft, hop_length, win_length)
     freq_bins = n_fft // 2 + 1
     return out[:, :freq_bins, :], out[:, freq_bins:, :]
 
