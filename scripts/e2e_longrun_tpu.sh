@@ -27,6 +27,9 @@ make_micro_dataset(
     os.path.join(work, "data"), n_train=500, n_val=20,
     with_caches=True, voice="formant", seed=23,
     target_s_choices=[0.9, 1.15, 1.4, 1.65, 1.9, 2.15, 2.4, 2.65, 2.9],
+    # caches bake the padded length: must match the run's
+    # dataset.time_bin_quantize below
+    time_bin_quantize=4,
 )
 print("longrun corpus ready")
 EOF
@@ -37,15 +40,20 @@ import sys, os, yaml
 work, epochs = sys.argv[1], int(sys.argv[2])
 cfg = {
   "training": {"log_interval": 10, "save_interval": 1000,
-               "val_interval": 2000, "device": "tpu",
+               "val_interval": 4000, "device": "tpu",
                "mixed_precision": "bf16", "data_workers": 2},
   "training_plan": {
     "acoustic": {"epochs": epochs, "probe_batch_max": 16, "lr": 1e-4},
   },
+  # time_bin_quantize=4: group the 9 quarter-second duration bins into
+  # ~3 one-second bins — each occupied (bin, stage) pair is a fresh XLA
+  # program and the remote-compile tunnel runs ~25 min/program, so the
+  # compile head has to be bounded for a >=10k-step run to fit a session
   "dataset": {"path": os.path.join(work, "data"),
               "train_data": "train-list.txt", "val_data": "val-list.txt",
               "wav_path": "wav-dir", "pitch_path": "pitch.safetensors",
-              "alignment_path": "alignment.safetensors"},
+              "alignment_path": "alignment.safetensors",
+              "time_bin_quantize": 4},
   "validation": {"sample_count": 2},
 }
 open(os.path.join(work, "config.yml"), "w").write(yaml.dump(cfg))

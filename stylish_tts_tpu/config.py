@@ -156,6 +156,14 @@ class GeneratorConfig(BaseModel):
     # rematerialize the audio-rate ConvNeXt stacks in backward
     # (jax.checkpoint): ~2x larger training batches for ~15% extra FLOPs
     remat: bool = False
+    # roll the identical amp/phase ConvNeXt stacks with lax.scan: one
+    # compiled block body instead of conv_layers inlined copies —
+    # ~conv_layers-fold smaller HLO for those stacks (faster compiles,
+    # smaller executables; the B=64 remat blocker was a 42.6 MB
+    # StableHLO upload). Param layout gains a leading stacked axis, so
+    # checkpoints are NOT interchangeable with the unrolled layout;
+    # from-scratch training only (torch imports keep unrolled).
+    scan_stacks: bool = False
     # "group" (TPU-first GroupNorm training norm) or "affine" (frozen
     # per-channel scale/bias = folded torch BatchNorm eval stats; set by
     # convert/torch_import.py when importing reference checkpoints)

@@ -106,6 +106,47 @@ class SineSource(nn.Module):
         return jnp.tanh(merged)[..., 0]
 
 
+class _ScanConvNeXtBody(nn.Module):
+    """scan body: (carry=x, broadcast style) -> (new x, None)."""
+
+    dim: int
+    intermediate_dim: int
+
+    @nn.compact
+    def __call__(self, x, style):
+        return GeneratorConvNeXtBlock(
+            self.dim, self.intermediate_dim, name="block"
+        )(x, style), None
+
+
+def _scanned_convnext_stack(n_layers, dim, inter, name, remat=False):
+    """n identical ConvNeXt blocks rolled with nn.scan: ONE compiled
+    block body instead of n inlined copies.
+
+    The acoustic step's executable is ~245 MB of code spread over ~800
+    fused kernels (round-5 trace); the repeated ConvNeXt stacks are the
+    bulk of that repetition. Rolling them shrinks the program ~n_layers
+    fold for these stacks — smaller executables compile faster through
+    the remote-compile tunnel (the B=64 blocker was a 42.6 MB StableHLO
+    upload) at the cost of scan-carry overhead per layer. Param layout
+    changes (leading stacked axis), so this is an opt-in config knob
+    (generator.scan_stacks) for from-scratch training; imported torch
+    checkpoints keep the unrolled layout. The megatron sharding rules
+    (parallel/sharding_rules.py) address pwconv kernels by NEGATIVE
+    axis, so the extra leading axis shards identically.
+    """
+    body = _ScanConvNeXtBody
+    if remat:
+        body = nn.remat(body, prevent_cse=False)
+    return nn.scan(
+        body,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        in_axes=nn.broadcast,
+        length=n_layers,
+    )(dim, inter, name=name)
+
+
 class Generator(nn.Module):
     """Amplitude/phase iSTFT head generator (reference generator.py:513-799)."""
 
@@ -123,6 +164,7 @@ class Generator(nn.Module):
     conv_layers: int
     upsample_rates: Sequence[int]
     remat: bool = False
+    scan_stacks: bool = False
 
     @nn.compact
     def __call__(
@@ -193,8 +235,14 @@ class Generator(nn.Module):
         x = mel
         dim = self.input_dim
         amp_layers = self.conv_layers - len(self.upsample_rates)
-        for i in range(amp_layers):
-            x = ConvNeXt(dim, dim * 4, name=f"amp_convnext_{i}")(x, style)
+        if self.scan_stacks:
+            x, _ = _scanned_convnext_stack(
+                amp_layers, dim, dim * 4, "amp_convnext_scan",
+                remat=self.remat,
+            )(x, style)
+        else:
+            for i in range(amp_layers):
+                x = ConvNeXt(dim, dim * 4, name=f"amp_convnext_{i}")(x, style)
         for i, stride in enumerate(self.upsample_rates):
             out_dim = dim // 2
             # dense channel expansion + reshape == sub-pixel upsample (MXU).
@@ -225,10 +273,17 @@ class Generator(nn.Module):
             self.hidden_dim, self.io_conv_kernel_size, name="phase_input_conv"
         )(phase_in)
         phase = nn.LayerNorm(epsilon=1e-6, name="phase_norm")(phase)
-        for i in range(self.conv_layers):
-            phase = ConvNeXt(
-                self.hidden_dim, self.hidden_dim * 4, name=f"phase_convnext_{i}"
+        if self.scan_stacks:
+            phase, _ = _scanned_convnext_stack(
+                self.conv_layers, self.hidden_dim, self.hidden_dim * 4,
+                "phase_convnext_scan", remat=self.remat,
             )(phase, style)
+        else:
+            for i in range(self.conv_layers):
+                phase = ConvNeXt(
+                    self.hidden_dim, self.hidden_dim * 4,
+                    name=f"phase_convnext_{i}",
+                )(phase, style)
         phase = nn.LayerNorm(epsilon=1e-6, name="phase_final_norm")(phase)
         real = Conv1d(
             self.hidden_dim, self.io_conv_kernel_size, name="phase_real_conv"
@@ -319,6 +374,7 @@ class MultiGenerator(nn.Module):
             conv_layers=self.config.conv_layers,
             upsample_rates=(3, 5, 5),
             remat=self.config.remat,
+            scan_stacks=self.config.scan_stacks,
             name="basegen",
         )(
             x, style, pitch, voiced, rng=rng, prior=prior,

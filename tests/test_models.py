@@ -200,6 +200,60 @@ def test_multi_period_discriminator():
     assert len(fmaps) == 5 * 6
 
 
+def test_generator_scan_stacks_equivalence():
+    """generator.scan_stacks rolls the identical amp/phase ConvNeXt
+    stacks with lax.scan (one compiled body, ~conv_layers-fold smaller
+    HLO). With the unrolled params restacked along a leading axis the
+    two layouts must produce the same audio bit-for-tolerance."""
+    mc = small_model_config()
+    models_u = build_model(mc)
+    mc2 = small_model_config()
+    mc2.generator.scan_stacks = True
+    models_s = build_model(mc2)
+
+    texts, lengths = _texts()
+    align = _alignment()
+    pitch = jnp.full((B, FRAMES), 120.0)
+    energy = jnp.zeros((B, FRAMES))
+    voiced = jnp.ones((B, FRAMES))
+    style = jnp.zeros((B, mc.style_dim))
+    rng = jax.random.PRNGKey(0)
+    args = (texts, lengths, align, pitch, energy, voiced, style, pitch)
+    p_u = models_u["speech_predictor"].init({"params": rng}, *args, rng=rng)
+
+    # restack the unrolled per-layer trees along a new leading axis
+    import re as _re
+
+    gen_u = p_u["params"]["generator"]["basegen"]
+    gen_s = dict(gen_u)
+    for stack, scan_name in (
+        ("amp_convnext", "amp_convnext_scan"),
+        ("phase_convnext", "phase_convnext_scan"),
+    ):
+        names = sorted(
+            (k for k in gen_u if _re.fullmatch(rf"{stack}_\d+", k)),
+            key=lambda k: int(k.rsplit("_", 1)[1]),
+        )
+        assert names, list(gen_u)
+        stacked = jax.tree.map(
+            lambda *leaves: jnp.stack(leaves), *[gen_u[n] for n in names]
+        )
+        for n in names:
+            gen_s.pop(n)
+        gen_s[scan_name] = {"block": stacked}
+    p_s = jax.tree.map(lambda x: x, p_u)  # shallow-copy the dict tree
+    p_s["params"] = dict(p_s["params"])
+    p_s["params"]["generator"] = dict(p_s["params"]["generator"])
+    p_s["params"]["generator"]["basegen"] = gen_s
+
+    out_u = models_u["speech_predictor"].apply(p_u, *args, rng=rng)
+    out_s = models_s["speech_predictor"].apply(p_s, *args, rng=rng)
+    np.testing.assert_allclose(
+        np.asarray(out_s.audio), np.asarray(out_u.audio),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
 def test_ringformer_generator_variant():
     mc = small_model_config()
     mc.generator.type = "ringformer"
