@@ -48,11 +48,31 @@ def init_opt_states(params: Dict[str, Any]) -> Dict[str, Any]:
 def apply_module_update(
     params: Any, opt_state: Any, grads: Any, lr: jnp.ndarray
 ) -> tuple:
-    """One AdamW step on a single module's params with a traced LR."""
+    """One AdamW step on a single module's params with a traced LR.
+
+    Nonfinite-grad guard: if ANY gradient entry of this module is
+    inf/nan, the whole module update becomes a no-op (params AND
+    optimizer moments keep their old values). This is the TPU-native
+    analogue of torch.amp.GradScaler's skip-on-inf step (the reference
+    threads a scaler through MultiOptimizer.step, optimizers.py:79-90):
+    in bf16 a single pathological batch can spike one gradient to inf,
+    and without the guard that one step poisons the parameters forever
+    — the round-5 long-horizon run died exactly this way at step ~1,906
+    after 1,900 healthy steps, deterministically reproducible.
+    """
     tx = make_optimizer()
     updates, new_state = tx.update(grads, opt_state, params)
     updates = jax.tree.map(lambda u: -lr * u, updates)
-    return optax.apply_updates(params, updates), new_state
+    new_params = optax.apply_updates(params, updates)
+    finite = jnp.all(
+        jnp.asarray([
+            jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)
+        ])
+    )
+    pick = lambda new, old: jax.tree.map(  # noqa: E731
+        lambda n, o: jnp.where(finite, n, o), new, old
+    )
+    return pick(new_params, params), pick(new_state, opt_state)
 
 
 def cosine_lr(base_lr, step: jnp.ndarray, stage_steps) -> jnp.ndarray:
@@ -98,5 +118,10 @@ def init_disc_ema() -> Dict[str, jnp.ndarray]:
 
 
 def update_disc_ema(ema: jnp.ndarray, raw_loss: jnp.ndarray) -> jnp.ndarray:
-    """last_loss = 0.95*last + 0.05*loss (reference losses.py:287)."""
-    return ema * 0.95 + jax.lax.stop_gradient(raw_loss) * 0.05
+    """last_loss = 0.95*last + 0.05*loss (reference losses.py:287).
+
+    A nonfinite raw loss (the same pathological step the grad guard in
+    apply_module_update skips) leaves the EMA unchanged instead of
+    permanently poisoning the gap-aware LR controller."""
+    new = ema * 0.95 + jax.lax.stop_gradient(raw_loss) * 0.05
+    return jnp.where(jnp.isfinite(new), new, ema)

@@ -79,3 +79,51 @@ def test_anti_wrapping_phase_loss_wraps():
     assert loss < 1e-4
     loss2 = float(L.differential_phase_loss(phase + 0.5, phase))
     assert loss2 > 0.01
+
+
+def test_nonfinite_grad_step_is_skipped():
+    """bf16 GAN runs occasionally produce an inf/nan gradient on one
+    pathological batch; torch's AMP GradScaler skips such steps, and
+    apply_module_update mirrors that: the module's params AND optimizer
+    moments must be untouched, while finite grads still update. The
+    disc-loss EMA has the same guard (a nonfinite raw loss would
+    permanently poison the gap-aware LR controller)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stylish_tts_tpu.trainer.optim import (
+        apply_module_update, make_optimizer, update_disc_ema,
+    )
+
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    opt = make_optimizer().init(params)
+    lr = jnp.asarray(1e-2, jnp.float32)
+
+    good = {"w": jnp.full((4,), 0.5), "b": jnp.full((2,), 0.5)}
+    new_p, new_s = apply_module_update(params, opt, good, lr)
+    assert not np.allclose(np.asarray(new_p["w"]), np.asarray(params["w"]))
+
+    for poison in (jnp.nan, jnp.inf):
+        bad = {"w": jnp.full((4,), 0.5).at[1].set(poison),
+               "b": jnp.full((2,), 0.5)}
+        skip_p, skip_s = apply_module_update(params, opt, bad, lr)
+        for leaf_new, leaf_old in zip(
+            jax.tree.leaves(skip_p), jax.tree.leaves(params)
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(leaf_new), np.asarray(leaf_old)
+            )
+        for leaf_new, leaf_old in zip(
+            jax.tree.leaves(skip_s), jax.tree.leaves(opt)
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(leaf_new), np.asarray(leaf_old)
+            )
+
+    ema = jnp.asarray(2.5, jnp.float32)
+    assert float(update_disc_ema(ema, jnp.asarray(3.0))) != float(ema)
+    np.testing.assert_array_equal(
+        np.asarray(update_disc_ema(ema, jnp.asarray(jnp.nan))),
+        np.asarray(ema),
+    )
